@@ -1,0 +1,57 @@
+"""Crawl configuration — defaults mirror ``lib/crawler/api/config.rb:143-213``.
+
+Plain picklable dataclass; broadcast to executors as-is (SURVEY §1.1: no
+Spark analog needed for config).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.urlnorm import normalize_url, url_site
+
+
+@dataclass
+class CrawlConfig:
+    crawl_id: str = "crawl"
+    seed_urls: tuple = ()
+    sitemap_urls: tuple = ()
+    domain_allowlist: tuple = ()  # derived from seeds when empty
+    crawl_rules: dict = field(default_factory=dict)  # site -> [(policy,type,pattern)]
+    exclude_tags: dict = field(default_factory=dict)  # site -> [tag,...]
+
+    # api/config.rb defaults
+    max_crawl_depth: int = 10
+    max_unique_url_count: int = 100_000
+    max_url_length: int = 2048
+    max_url_segments: int = 16
+    max_url_params: int = 32
+    max_redirects: int = 10
+    max_title_size: int = 1_000
+    max_body_size: int = 5 * 1024 * 1024
+    max_keywords_size: int = 512
+    max_description_size: int = 1_024
+    max_elastic_tag_size: int = 512
+    max_data_attribute_size: int = 512
+    max_extracted_links_count: int = 1_000
+    max_indexed_links_count: int = 25
+    max_headings_count: int = 25
+    sitemap_discovery_disabled: bool = False
+    default_crawl_delay_s: float = 0.0  # used when robots has none
+    politeness_window_s: float = 0.0  # 0 = unlimited per-wave host quota
+    user_agent: str = "Elastic-Crawler"
+
+    def normalized_seeds(self) -> list[str]:
+        out = []
+        for s in self.seed_urls:
+            n = normalize_url(s)
+            out.append(n)
+        return out
+
+    def allowed_sites(self) -> list[str]:
+        """Domain allowlist as site strings (scheme://host[:port]) —
+        config.rb derives it from configured domains; we derive from seeds
+        unless given explicitly."""
+        if self.domain_allowlist:
+            return [url_site(normalize_url(d)) for d in self.domain_allowlist]
+        return sorted({url_site(n) for n in self.normalized_seeds()})

@@ -1,0 +1,166 @@
+"""Text-extraction goldens ported from the reference's own specs.
+
+Sources: spec/lib/crawler/content_engine/utils_spec.rb:19-57 and
+docs/features/CRAWLER_DIRECTIVES.md:78-151 (the test1..test7 example).
+"""
+
+from crawler_spark.functions.textextract import (
+    limit_bytesize,
+    node_descendant_text,
+    squish,
+    transform,
+)
+from crawler_spark.functions.pageextract import extract_page
+from crawler_spark.htmlkit import dom
+
+
+def body_text(html: str) -> str:
+    doc = dom.parse(html)
+    body = dom.body_of(doc)
+    return node_descendant_text(transform(body))
+
+
+def test_br_becomes_space():
+    # utils_spec.rb golden: 'Hello,<br>World!' -> 'Hello, World!'
+    assert body_text("<html><body><p>Hello,<br>World!</p></body></html>") == "Hello, World!"
+
+
+def test_hr_becomes_space():
+    assert body_text("<body>a<hr>b</body>") == "a b"
+
+
+def test_script_and_style_skipped():
+    html = "<body><script>var x = 'nope';</script><style>.a{}</style><p>yes</p></body>"
+    assert body_text(html) == "yes"
+
+
+def test_svg_video_object_skipped():
+    html = "<body><svg><text>no</text></svg><video>no</video><object>no</object>ok</body>"
+    assert body_text(html) == "ok"
+
+
+def test_meta_content_attribute_contributes():
+    # utils_spec.rb: Element nodes contribute their content attribute
+    html = "<body><meta content='metatext'><p>body</p></body>"
+    assert body_text(html) == "metatext body"
+
+
+def test_comments_do_not_contribute_text():
+    assert body_text("<body>a<!-- hidden -->b</body>") == "a b"
+
+
+def test_whitespace_squished():
+    # every element contributes a surrounding space (utils.rb:85-92), so
+    # inline tags break words: 'c</b>d' -> 'c d'
+    assert body_text("<body>  a\n\t b   <b> c</b>d </body>") == "a b c d"
+
+
+def test_elements_insert_word_breaks():
+    assert body_text("<body><div>a</div><div>b</div></body>") == "a b"
+
+
+def test_directives_exclude_include_golden():
+    # docs/features/CRAWLER_DIRECTIVES.md:101-126 -> "test1 test3 test5 test7"
+    html = """
+    <body>
+        test1
+        <div data-elastic-exclude>test2
+            <p data-elastic-include>test3
+                <span data-elastic-exclude>test4
+                    <em data-elastic-include>test5</em>
+                </span>
+            </p>
+            test6
+        </div>
+        test7
+    </body>
+    """
+    assert body_text(html) == "test1 test3 test5 test7"
+
+
+def test_directives_simple_exclude_golden():
+    # CRAWLER_DIRECTIVES.md:128-151 -> "test1 test7"
+    html = """
+    <body>
+        test1
+        <div data-elastic-exclude>test2
+            <p>test3<span>test4<em>test5</em></span></p>
+            test6
+        </div>
+        test7
+    </body>
+    """
+    assert body_text(html) == "test1 test7"
+
+
+def test_exclude_on_body_itself():
+    assert body_text('<body data-elastic-exclude>gone<p data-elastic-include>kept</p></body>') == "kept"
+
+
+def test_limit_bytesize():
+    assert limit_bytesize("hello", 100) == "hello"
+    assert limit_bytesize("hello world", 8) == "hello…"
+    # multi-byte grapheme boundary: no split mid-character
+    s = "aéé"  # 1 + 2 + 2 bytes
+    out = limit_bytesize(s, 4)  # real_limit = 4-3 = 1 -> 'a…'
+    assert out == "a…"
+    assert limit_bytesize(None, 10) is None
+    assert limit_bytesize("", 0) == ""
+
+
+def test_squish_unicode():
+    assert squish(" a   b ") == "a b"
+
+
+def test_extract_page_full():
+    html = """<html><head>
+      <title> My   Title </title>
+      <base href="/sub/">
+      <link rel="canonical" href="http://example.com/canon">
+      <meta name="keywords" content="k1, k2">
+      <meta name="description" content="desc here">
+      <meta name="robots" content="NOINDEX">
+      <meta class="elastic" name="custom_field" content="cv">
+      <meta class="elastic" name="_bad" content="x">
+      <meta class="elastic" name="url" content="reserved">
+    </head><body>
+      <h1>First</h1><h2></h2><h2>Second</h2><h1>First</h1>
+      <a href="a1">A1</a>
+      <a href="/abs">Abs</a>
+      <a href="nope" rel="NOFOLLOW">NF</a>
+      <a href="http://other.com/x">Ext</a>
+      <div data-elastic-name="attr_field">attr value</div>
+      <p>Body text</p>
+    </body></html>"""
+    r = extract_page("http://example.com/page", html)
+    assert r["base_url"] == "http://example.com/sub/"
+    assert r["title"] == "My Title"
+    assert r["canonical_url"] == "http://example.com/canon"
+    assert r["meta_noindex"] is True and r["meta_nofollow"] is False
+    assert r["meta_keywords"] == "k1, k2"
+    assert r["meta_description"] == "desc here"
+    assert r["headings"] == ["First", "Second"]
+    urls = [lk["url"] for lk in r["links"]]
+    assert urls == [
+        "http://example.com/sub/a1",
+        "http://example.com/abs",
+        "http://example.com/sub/nope",
+        "http://other.com/x",
+    ]
+    assert [lk["nofollow"] for lk in r["links"]] == [False, False, True, False]
+    assert r["indexed_links"] == sorted(urls)
+    assert r["extra_fields"] == {"custom_field": "cv", "attr_field": "attr value"}
+    assert "Body text" in r["body"]
+
+
+def test_extract_page_caps():
+    links = "".join(f'<a href="/l{i}">x</a>' for i in range(40))
+    heads = "".join(f"<h3>h{i}</h3>" for i in range(40))
+    r = extract_page(
+        "http://e.com/", f"<body>{links}{heads}</body>",
+        max_extracted_links=30, max_indexed_links=5, max_headings=25,
+    )
+    assert len(r["links"]) == 30 and r["links_limit_reached"]
+    assert len(r["indexed_links"]) == 5
+    assert r["indexed_links"] == sorted([f"http://e.com/l{i}" for i in range(5)])
+    assert len(r["headings"]) == 25
