@@ -1,0 +1,106 @@
+"""Frontier admission: wave-local dedup → seen anti-join → budget cap → seq.
+
+The distributed equivalent of SeenUrls#add? (seen_urls.rb:36-38) + the
+unique-URL budget (coordinator.rb:707-717), restructured for Spark
+(SURVEY §2.4 A1/A6, §4):
+
+* wave-local dedup (F1, batch dedup coordinator.rb:566-592): keep the
+  first candidate in deterministic admission order ``(parent_seq,
+  sub_order)`` — the order a single-threaded FIFO coordinator would have
+  admitted them in, so lineage attribution matches the oracle exactly.
+* seen filter (F11): LEFT ANTI join against the seen table on url_hash —
+  evaluated only for candidates that survived every deny gate, preserving
+  the "denied URLs are never marked seen" invariant structurally.
+* budget (F10): ``row_number`` over admission order, capped at
+  ``max_unique_url_count - seen_so_far`` — the deterministic equivalent of
+  the reference's check-then-admit counter.
+* new ``seq`` values continue the global admission sequence so the next
+  wave's children order correctly.
+
+Scale note: at 10^10 URLs the anti-join is the dominant shuffle; both sides
+hash-partition on url_hash (pages/seen bucketed the same way), Spark's
+runtime bloom filter prunes the probe side, and the budget window is global
+but tiny (a single rank over the wave's survivors, not the seen table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _admission_order():
+    """Deterministic FIFO-equivalent ordering (needs an active session, so
+    built lazily)."""
+    return [F.col("parent_seq").asc(), F.col("sub_order").asc(), F.col("norm_url").asc()]
+
+
+def wave_dedup(candidates: DataFrame) -> DataFrame:
+    """Keep first occurrence per url_hash in admission order (F1)."""
+    w = Window.partitionBy("url_hash").orderBy(*_admission_order())
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ordered_global_rank(df: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Deterministic global row_number over ADMISSION_ORDER without a
+    single-task global sort.
+
+    A bare ``Window.orderBy`` funnels the whole wave through one task — fine
+    at test scale, a hard bottleneck at 10^10. Instead: ``parent_seq`` is a
+    dense admission sequence whose [min, max] is known per wave, so
+    *analytic range bucketing* on it yields buckets that are already
+    globally ordered (every key in bucket b sorts before every key in
+    bucket b+1). Rank locally per bucket (parallel window), then add
+    per-bucket cumulative offsets (a tiny P-row aggregate collected to the
+    driver). Fully deterministic — no sampling, no spark_partition_id.
+    """
+    mn, mx = df.agg(F.min("parent_seq"), F.max("parent_seq")).first()
+    if mn is None:
+        return df.withColumn("_rank", F.lit(None).cast("long"))
+    span = (mx - mn) + 1
+    bkt = F.least(
+        F.lit(num_buckets - 1),
+        ((F.col("parent_seq") - F.lit(mn)) * num_buckets / F.lit(span)).cast("int"),
+    )
+    b = df.withColumn("_bkt", bkt)
+    w_local = Window.partitionBy("_bkt").orderBy(*_admission_order())
+    ranked = b.withColumn("_lrank", F.row_number().over(w_local))
+    counts = {r["_bkt"]: r["cnt"] for r in b.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for i in range(num_buckets):
+        offsets[i] = acc
+        acc += counts.get(i, 0)
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return (
+        ranked.withColumn("_rank", (off_map[F.col("_bkt")] + F.col("_lrank")).cast("long"))
+        .drop("_bkt", "_lrank")
+    )
+
+
+def admit(
+    allowed: DataFrame,
+    seen: DataFrame | None,
+    seen_count: int,
+    max_unique: int,
+    seq_base: int,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Full admission pipeline → admitted rows with final ``seq``.
+
+    ``allowed`` must already carry url_hash and have deny_reason null.
+    ``seen`` is the url_hash seen table (None on the first wave).
+    """
+    deduped = wave_dedup(allowed)
+    if seen is not None:
+        deduped = deduped.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+    budget_left = max(0, max_unique - seen_count)
+    ranked = ordered_global_rank(deduped, num_buckets=num_buckets)
+    admitted = ranked.filter(F.col("_rank") <= budget_left)
+    return admitted.withColumn("seq", (F.col("_rank") + F.lit(seq_base)).cast("long")).drop(
+        "_rank"
+    )

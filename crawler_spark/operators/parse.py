@@ -1,0 +1,235 @@
+"""Offline fetch + single-pass page parse (S4/S5 + E3-E16/E20 in SURVEY §2).
+
+``fetch_join``: the offline equivalent of the reference's HTTP executor —
+the frontier wave joins the prepared ``pages`` table on ``url_hash``; a
+missing row is the 404/Error path (http_executor.rb error semantics).
+The frontier side of a wave is orders of magnitude smaller than the corpus,
+so we broadcast it when small; otherwise it is a shuffle join on the
+bucketed hash (AQE re-plans at runtime).
+
+``parse_wave``: one ``mapInPandas`` pass producing every extracted field +
+the exploded-ready links array. This mirrors the reference's memoized
+one-parse-per-result design (html.rb:25-27) and keeps all row-wise Python
+in a single Arrow-batched stage — no per-row Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import CrawlConfig
+from ..functions import urlnorm as U
+from ..functions.pageextract import classify_content, extract_page, url_components
+from ..functions.sitemaps import parse_sitemap
+
+STATUS_MARK = re.compile(rb"^<!--STATUS:(\d{3})-->")
+
+LINK_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("nofollow", BooleanType()),
+        StructField("pos", IntegerType()),
+    ]
+)
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("norm_url", StringType()),
+        StructField("url_hash", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("seq", LongType()),
+        StructField("task_type", StringType()),
+        StructField("redirect_chain", ArrayType(StringType())),
+        StructField("host_key", StringType()),
+        StructField("kind", StringType()),
+        StructField("status", IntegerType()),
+        StructField("location", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("title", StringType()),
+        StructField("body", StringType()),
+        StructField("meta_keywords", StringType()),
+        StructField("meta_description", StringType()),
+        StructField("headings", ArrayType(StringType())),
+        StructField("indexed_links", ArrayType(StringType())),
+        StructField("extra_fields", MapType(StringType(), StringType())),
+        StructField("canonical_url", StringType()),
+        StructField("meta_nofollow", BooleanType()),
+        StructField("meta_noindex", BooleanType()),
+        StructField("links", ArrayType(LINK_TYPE)),
+        StructField("sitemap_links", ArrayType(StringType())),
+        StructField("sitemap_content_links", ArrayType(StringType())),
+    ]
+)
+
+
+def fetch_join(wave: DataFrame, pages: DataFrame, broadcast_wave: bool = True) -> DataFrame:
+    """Frontier wave ⋈ pages on url_hash (left outer: misses become errors)."""
+    w = F.broadcast(wave) if broadcast_wave else wave
+    return w.join(
+        pages.select("url_hash", "html", "warc_ts"), on="url_hash", how="left"
+    )
+
+
+def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            norm_url = row.norm_url
+            rec = {
+                "norm_url": norm_url,
+                "url_hash": row.url_hash,
+                "depth": int(row.depth),
+                "seq": int(row.seq),
+                "task_type": row.task_type,
+                "redirect_chain": list(row.redirect_chain or []),
+                "host_key": U.url_host_key(norm_url),
+                "kind": "error",
+                "status": 404,
+                "location": None,
+                "warc_ts": row.warc_ts,
+                "title": None,
+                "body": None,
+                "meta_keywords": None,
+                "meta_description": None,
+                "headings": None,
+                "indexed_links": None,
+                "extra_fields": None,
+                "canonical_url": None,
+                "meta_nofollow": None,
+                "meta_noindex": None,
+                "links": None,
+                "sitemap_links": None,
+                "sitemap_content_links": None,
+            }
+            html = row.html
+            if html is None:
+                out.append(rec)
+                continue
+            body = bytes(html)
+            m = STATUS_MARK.match(body)
+            if m:
+                rec["status"] = int(m.group(1))
+                out.append(rec)
+                continue
+            kind, location = classify_content(norm_url, body[:512].decode("utf-8", "replace"))
+            rec["status"] = 301 if kind == "redirect" else 200
+            rec["kind"] = kind
+            if kind == "redirect":
+                rec["location"] = U.join_url(norm_url, location) if location else None
+                out.append(rec)
+                continue
+            if row.task_type == "sitemap" or kind == "sitemap":
+                rec["kind"] = "sitemap"
+                sm, cl = parse_sitemap(norm_url, body)
+                rec["sitemap_links"] = sm
+                rec["sitemap_content_links"] = cl
+                out.append(rec)
+                continue
+            if kind == "robots_txt":
+                out.append(rec)
+                continue
+            page = extract_page(
+                norm_url,
+                body.decode("utf-8", "replace"),
+                max_extracted_links=cfg.max_extracted_links_count,
+                max_indexed_links=cfg.max_indexed_links_count,
+                max_headings=cfg.max_headings_count,
+                max_title_size=cfg.max_title_size,
+                max_body_size=cfg.max_body_size,
+                max_keywords_size=cfg.max_keywords_size,
+                max_description_size=cfg.max_description_size,
+                max_elastic_tag_size=cfg.max_elastic_tag_size,
+                max_data_attribute_size=cfg.max_data_attribute_size,
+                exclude_tags=cfg.exclude_tags.get(U.url_site(norm_url)),
+            )
+            rec.update(
+                {
+                    "title": page["title"],
+                    "body": page["body"],
+                    "meta_keywords": page["meta_keywords"],
+                    "meta_description": page["meta_description"],
+                    "headings": page["headings"],
+                    "indexed_links": page["indexed_links"],
+                    "extra_fields": page["extra_fields"] or None,
+                    "canonical_url": page["canonical_url"],
+                    "meta_nofollow": page["meta_nofollow"],
+                    "meta_noindex": page["meta_noindex"],
+                    "links": [
+                        (lk["url"], lk["nofollow"], lk["pos"])
+                        for lk in page["links"]
+                        if lk["url"] is not None
+                    ],
+                }
+            )
+            out.append(rec)
+        yield pd.DataFrame(out, columns=[f.name for f in PARSED_SCHEMA.fields])
+
+
+def parse_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Arrow-batched parse of a fetched wave → PARSED_SCHEMA rows."""
+    return fetched.mapInPandas(lambda it: _parse_partition(it, cfg), schema=PARSED_SCHEMA)
+
+
+def docs_from_parsed(parsed: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Document mapping + output gate (document_mapper.rb:35-102,
+    rule_engine/base.rb:65-82): HTML 2xx, not noindex, redirect chain within
+    budget. URL components derived JVM-side from the normalized URL."""
+    d = parsed.filter(
+        (F.col("kind") == "html")
+        & (F.col("status") >= 200) & (F.col("status") < 300)
+        & (~F.col("meta_noindex"))
+        & (F.size(F.coalesce(F.col("redirect_chain"), F.array())) <= cfg.max_redirects)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(F.col("norm_url"), r"^[a-z+.-]+://[^/]+(/[^?#]*)?", 1), r"\?.*$", ""
+    )
+    comps = F.split(path, "/")
+    host_port = F.regexp_extract(F.col("norm_url"), r"^[a-z+.-]+://([^/?#]+)", 1)
+    host_nouser = F.element_at(F.split(host_port, "@"), -1)
+    host = F.element_at(F.split(host_nouser, ":"), 1)
+    port_str = F.regexp_extract(host_nouser, r":(\d+)$", 1)
+    scheme = F.element_at(F.split(F.col("norm_url"), "://"), 1)
+    inferred_port = F.when(port_str != "", port_str.cast("int")).otherwise(
+        F.when(scheme == "https", F.lit(443)).otherwise(F.lit(80))
+    )
+    nullify = lambda c: F.when(F.length(c) > 0, c)  # noqa: E731  blank-strip (mapper:110-112)
+    return d.select(
+        F.col("url_hash").alias("id"),
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("last_crawled_at"),
+        nullify(F.col("title")).alias("title"),
+        nullify(F.col("body")).alias("body"),
+        nullify(F.col("meta_keywords")).alias("meta_keywords"),
+        nullify(F.col("meta_description")).alias("meta_description"),
+        F.col("indexed_links").alias("links"),
+        F.col("headings").alias("headings"),
+        F.col("norm_url").alias("url"),
+        scheme.alias("url_scheme"),
+        host.alias("url_host"),
+        inferred_port.alias("url_port"),
+        nullify(path).alias("url_path"),
+        nullify(F.try_element_at(comps, F.lit(2))).alias("url_path_dir1"),
+        nullify(F.try_element_at(comps, F.lit(3))).alias("url_path_dir2"),
+        nullify(F.try_element_at(comps, F.lit(4))).alias("url_path_dir3"),
+        F.col("extra_fields"),
+        F.col("depth"),
+        F.col("seq"),
+    )
+
+
+__all__ = ["fetch_join", "parse_wave", "docs_from_parsed", "PARSED_SCHEMA", "url_components"]

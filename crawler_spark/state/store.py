@@ -1,0 +1,82 @@
+"""Crawl state tables: append-versioned parquet with a manifest (checkpoint).
+
+Production design (SURVEY §2.1 S6, §4): frontier/seen/docs are Iceberg
+tables — ``MERGE INTO … ON t.id = s.id`` gives idempotent upsert-by-url_hash
+(the exact equivalent of the reference's ES ``_id = url_hash`` bulk upsert,
+elasticsearch.rb:88), bucketed by ``bucket(N, url_hash)``. The sandbox has
+no Iceberg runtime jar, so this module implements the same contract on
+plain parquet with an explicit manifest:
+
+* ``append(name, df)`` writes a new immutable snapshot directory per wave
+  — valid because admission already guarantees key-newness (the anti-join
+  runs before the write), so append ≡ MERGE-insert-only.
+* ``docs`` upsert-by-id is resolved at read time by keeping the *latest*
+  wave per id (re-crawl waves overwrite) — MERGE-update semantics.
+* the JSON manifest carries wave number, admission seq watermark, row
+  counts and per-wave metrics — the "per-partition checkpoints with
+  lineage + metrics" resume contract from the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # --- manifest ----------------------------------------------------------
+
+    @property
+    def manifest_path(self):
+        return os.path.join(self.root, "manifest.json")
+
+    def read_manifest(self) -> dict | None:
+        try:
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def write_manifest(self, m: dict):
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, default=str)
+        os.replace(tmp, self.manifest_path)
+
+    # --- tables -------------------------------------------------------------
+
+    def table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def append(self, name: str, df: DataFrame, wave: int) -> str:
+        path = os.path.join(self.table_dir(name), f"wave={wave:05d}")
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def exists(self, name: str) -> bool:
+        d = self.table_dir(name)
+        return os.path.isdir(d) and any(p.startswith("wave=") for p in os.listdir(d))
+
+    def read(self, name: str) -> DataFrame | None:
+        if not self.exists(name):
+            return None
+        return self.spark.read.option("basePath", self.table_dir(name)).parquet(
+            os.path.join(self.table_dir(name), "wave=*")
+        )
+
+    def checkpoint(self, wave: int, seq_base: int, seen_count: int, extra: dict | None = None):
+        m = self.read_manifest() or {"created_at": time.time(), "waves": []}
+        m["wave"] = wave
+        m["seq_base"] = seq_base
+        m["seen_count"] = seen_count
+        m["waves"].append({"wave": wave, "seq_base": seq_base, "seen_count": seen_count,
+                           **(extra or {})})
+        self.write_manifest(m)

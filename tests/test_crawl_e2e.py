@@ -1,0 +1,131 @@
+"""E2E: the distributed Spark crawl must match the single-threaded
+reference-semantics simulator — identical URL-seen set (with depth +
+source-type attribution), identical docs, byte-identical extracted text
+vs. the corpus oracle column (the north-rule invariants)."""
+
+import pytest
+
+from crawler_spark.oracle.simulator import CrawlSimulator
+from crawler_spark.plans.crawl import SparkCrawler
+
+
+@pytest.fixture(scope="module")
+def sim_result(corpus, crawl_config):
+    rows, _ = corpus
+    return CrawlSimulator(rows, crawl_config).run()
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, corpus, crawl_config, pages_path, tmp_path_factory):
+    state = tmp_path_factory.mktemp("state")
+    pages = spark.read.parquet(pages_path)
+    crawler = SparkCrawler(spark, crawl_config, pages, str(state), max_waves=40)
+    return crawler.run()
+
+
+def test_seen_set_identical(sim_result, spark_result):
+    spark_seen = {r["norm_url"]: r for r in spark_result.seen.collect()}
+    sim_seen = sim_result.seen
+    missing = set(sim_seen) - set(spark_seen)
+    extra = set(spark_seen) - set(sim_seen)
+    assert not missing, f"missing from spark seen: {sorted(missing)[:10]}"
+    assert not extra, f"extra in spark seen: {sorted(extra)[:10]}"
+
+
+def test_seen_depth_and_source_attribution(sim_result, spark_result):
+    spark_seen = {r["norm_url"]: r for r in spark_result.seen.collect()}
+    for url, rec in sim_result.seen.items():
+        s = spark_seen[url]
+        assert s["depth"] == rec["depth"], f"depth mismatch for {url}"
+        assert s["source_type"] == rec["source_type"], f"source mismatch for {url}"
+
+
+def test_seen_hashes_match(sim_result, spark_result):
+    spark_hashes = {r["url_hash"] for r in spark_result.seen.collect()}
+    assert spark_hashes == {rec["url_hash"] for rec in sim_result.seen.values()}
+
+
+def test_admission_order_matches_fifo(sim_result, spark_result):
+    """seq ordering must equal the single-thread FIFO admission order."""
+    spark_order = [
+        r["norm_url"] for r in spark_result.seen.orderBy("seq").collect()
+    ]
+    sim_order = [u for u, _ in sorted(sim_result.seen.items(), key=lambda kv: kv[1]["seq"])]
+    assert spark_order == sim_order
+
+
+def test_docs_identical(sim_result, spark_result):
+    spark_docs = {r["id"]: r.asDict() for r in spark_result.docs.collect()}
+    sim_docs = {d["id"]: d for d in sim_result.docs}
+    assert set(spark_docs) == set(sim_docs)
+    for did, sd in sim_docs.items():
+        pd_ = spark_docs[did]
+        for fld in ["title", "body", "meta_keywords", "meta_description",
+                    "url", "url_scheme", "url_host", "url_path",
+                    "url_path_dir1", "url_path_dir2", "url_path_dir3"]:
+            assert pd_[fld] == sd.get(fld), f"{fld} mismatch for {sd['url']}"
+        assert pd_["url_port"] == sd.get("url_port")
+        assert list(pd_["links"] or []) == sd["links"]
+        assert list(pd_["headings"] or []) == sd["headings"]
+
+
+def test_byte_identical_text_vs_corpus(corpus, spark_result):
+    """input_hint invariant: per-url extracted text == pages.text."""
+    rows, _ = corpus
+    expected = {}
+    from crawler_spark.functions.urlnorm import try_normalize
+    for r in rows:
+        n, err = try_normalize(r["url"])
+        if err is None:
+            expected[n] = r["text"]
+    checked = 0
+    for doc in spark_result.docs.collect():
+        if doc["url"] in expected and expected[doc["url"]]:
+            assert (doc["body"] or "") == expected[doc["url"]], doc["url"]
+            checked += 1
+    assert checked > 50
+
+
+def test_deny_reasons_present(spark_result):
+    lineage = spark_result.lineage
+    reasons = {
+        r["deny_reason"]
+        for r in lineage.filter("deny_reason is not null").select("deny_reason").distinct().collect()
+    }
+    for expect in [
+        "incorrect_protocol", "link_too_long", "link_with_too_many_segments",
+        "link_with_too_many_params", "domain_filter_denied",
+        "robots_txt_disallowed", "rule_engine_denied",
+    ]:
+        assert expect in reasons, f"missing deny reason {expect}"
+
+
+def test_never_followed_stays_uncrawled(sim_result, spark_result):
+    """meta nofollow page's links must not be admitted (F12)."""
+    seen_urls = {r["norm_url"] for r in spark_result.seen.collect()}
+    assert not any(u.endswith("/never-followed") for u in seen_urls)
+    assert not any(u.endswith("/nofollow-target") for u in seen_urls)
+
+
+def test_noindex_not_in_docs(spark_result):
+    urls = {r["url"] for r in spark_result.docs.collect()}
+    assert not any(u.endswith("/noindex") for u in urls)
+    # but its links WERE followed
+    seen_urls = {r["norm_url"] for r in spark_result.seen.collect()}
+    assert any(u.endswith("/from-noindex") for u in seen_urls)
+
+
+def test_resume_from_checkpoint(spark, corpus, crawl_config, pages_path, tmp_path_factory):
+    """Kill after K waves; resume must converge to the same seen set."""
+    state = tmp_path_factory.mktemp("state_resume")
+    pages = spark.read.parquet(pages_path)
+    partial = SparkCrawler(spark, crawl_config, pages, str(state), max_waves=2).run()
+    partial_count = partial.seen.count()
+    resumed = SparkCrawler(
+        spark, crawl_config, pages, str(state), max_waves=40, resume=True
+    ).run()
+    rows, _ = corpus
+    sim = CrawlSimulator(rows, crawl_config).run()
+    resumed_seen = {r["norm_url"] for r in resumed.seen.collect()}
+    assert resumed_seen == set(sim.seen)
+    assert partial_count < len(resumed_seen)
