@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator inventory (SURVEY.md §2) in
+SQL-checkable form over the driver testdata tables, plus the
+training-data-pipeline operators (dedup families, similarity search, text
+analysis, multimodal plumbing). Each is implemented with the same
+`crawler_spark` operators the crawl engine uses; `oracle_sql()` provides
+the DuckDB-equivalent ANSI SQL. Crawl-specific byte-identical invariants
+(seen-set/text/ordering) are covered by `tests/` against the in-repo
+reference simulator, not here (they need the synthetic pages corpus).
 """
 
 from __future__ import annotations
@@ -12,27 +15,437 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier-style dedup + text-analysis pipeline over the
+    documents table — exact-dedup fingerprints joined with quality + langid,
+    aggregated per (lang, predicted lang)."""
+    from crawler_spark.textops.textstats import lang_id, quality_score
 
+    docs = _t(spark, SF_DEFAULT, "documents")
+    q = quality_score(docs)
+    lid = lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawler_spark.textops.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash,
+    )
+    from crawler_spark.textops.multimodal import extract_metadata
+    from crawler_spark.textops.similarity import brute_force_topk
+    from crawler_spark.textops.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_stats,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def seen_antijoin(spark, sf):
+        # A1/F11: frontier (orders) anti-join seen (lineitem orderkeys)
+        orders = _t(spark, sf, "orders")
+        seen = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+        return orders.join(seen, "o_orderkey", "left_anti").select("o_orderkey", "o_totalprice")
+
+    def batch_dedup(spark, sf):
+        # F1/A6: batch-local dedup on a computed identity hash
+        return exact_dedup_groups(_t(spark, sf, "documents"))
+
+    def politeness_topk(spark, sf):
+        # S4/A2: per-host FIFO dispatch quota — rank per user_id by (ts, id)
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        return (
+            ev.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select(F.col("user_id").alias("host"), "event_id", "rnk")
+        )
+
+    def url_components(spark, sf):
+        # E18: URL component split (synthesized path from part.p_type)
+        p = _t(spark, sf, "part")
+        path = F.concat(F.lit("/"), F.replace(F.col("p_type"), F.lit(" "), F.lit("/")))
+        return p.select(
+            "p_partkey",
+            path.alias("url_path"),
+            F.split_part(path, F.lit("/"), F.lit(2)).alias("url_path_dir1"),
+            F.split_part(path, F.lit("/"), F.lit(3)).alias("url_path_dir2"),
+            F.split_part(path, F.lit("/"), F.lit(4)).alias("url_path_dir3"),
+        )
+
+    def deny_stats(spark, sf):
+        # A3: deny-reason style aggregation
+        return (
+            _t(spark, sf, "events")
+            .groupBy(F.col("event_type").alias("deny_reason"))
+            .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        )
+
+    def status_stats(spark, sf):
+        # A3/A4: status-code style counts + volume
+        return (
+            _t(spark, sf, "orders")
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("volume"),
+            )
+        )
+
+    def budget_cap(spark, sf):
+        # F10: deterministic ordered budget limit
+        return (
+            _t(spark, sf, "orders")
+            .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+            .limit(100)
+            .select("o_orderkey", "o_orderdate")
+        )
+
+    def fetch_join(spark, sf):
+        # S4: fetch join, small side broadcast
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "c_name", "c_mktsegment"
+        )
+
+    def host_salted_agg(spark, sf):
+        # skew-kill pattern: two-phase (salted) aggregation ≡ plain groupBy
+        ev = _t(spark, sf, "events")
+        salted = (
+            ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+            .groupBy("user_id", "salt")
+            .agg(F.count("*").alias("c"), F.sum("value").alias("v"))
+        )
+        return (
+            salted.groupBy(F.col("user_id").alias("host"))
+            .agg(F.sum("c").alias("n"), F.round(F.sum("v"), 4).alias("total_value"))
+        )
+
+    def sessionize_hourly(spark, sf):
+        # streaming-shaped tumbling-window agg (batch form)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+                F.col("event_type"),
+            ).agg(F.count("*").alias("n"))
+        )
+
+    def top25_sorted(spark, sf):
+        # E16/A7: per-key first-N then sorted
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 25)
+            .select("o_custkey", "o_orderkey", "rnk")
+        )
+
+    def purge_antijoin(spark, sf):
+        # S9/A5: purge docs not seen since cutoff
+        o = _t(spark, sf, "orders")
+        recent = (
+            _t(spark, sf, "lineitem")
+            .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            .select(F.col("l_orderkey").alias("o_orderkey"))
+        )
+        return (
+            o.join(recent, "o_orderkey", "left_anti")
+            .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            .select("o_orderkey", "o_orderdate")
+        )
+
+    def pricing_summary(spark, sf):
+        # TPC-H q1-shaped scan+agg (baseline relational throughput query)
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    # --- training-data ops -------------------------------------------------
+
+    def tokens(spark, sf):
+        return token_stats(_t(spark, sf, "documents"))
+
+    def quality(spark, sf):
+        return quality_score(_t(spark, sf, "documents"))
+
+    def langid(spark, sf):
+        return lang_id(_t(spark, sf, "documents"))
+
+    def doc_fingerprint(spark, sf):
+        return fingerprint(_t(spark, sf, "documents"))
+
+    def minhash_sigs(spark, sf):
+        return minhash_signatures(_t(spark, sf, "documents"))
+
+    def minhash_pairs(spark, sf):
+        return minhash_lsh_pairs(_t(spark, sf, "documents"))
+
+    def simhash_fps(spark, sf):
+        # rows-only check: xxhash64 has no portable SQL twin
+        return simhash(_t(spark, sf, "documents"))
+
+    def ann_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+    def multimodal_meta(spark, sf):
+        # binary plumbing: text bytes as stand-in payloads
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+        return extract_metadata(docs).select("asset_id", "n_bytes", "sha256")
+
+    return {
+        "seen_antijoin": seen_antijoin,
+        "batch_dedup": batch_dedup,
+        "politeness_topk": politeness_topk,
+        "url_components": url_components,
+        "deny_stats": deny_stats,
+        "status_stats": status_stats,
+        "budget_cap": budget_cap,
+        "fetch_join": fetch_join,
+        "host_salted_agg": host_salted_agg,
+        "sessionize_hourly": sessionize_hourly,
+        "top25_sorted": top25_sorted,
+        "purge_antijoin": purge_antijoin,
+        "pricing_summary": pricing_summary,
+        "token_stats": tokens,
+        "quality_score": quality,
+        "lang_id": langid,
+        "doc_fingerprint": doc_fingerprint,
+        "minhash_signatures": minhash_sigs,
+        "minhash_lsh_pairs": minhash_pairs,
+        "simhash": simhash_fps,
+        "ann_topk": ann_topk,
+        "multimodal_meta": multimodal_meta,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB ANSI SQL on the same parquet views)
+
+_OCC = (
+    "CAST((length(' ' || {t} || ' ') - length(replace(' ' || {t} || ' ', ' {w} ', ' ')))"
+    " / {n} AS INT)"
+)
+
+
+def _occ(t: str, w: str) -> str:
+    return _OCC.format(t=t, w=w, n=len(w) + 1)
+
+
+_TOKENS = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+_STOP = f"({_occ('text', 'the')} + {_occ('text', 'a')} + {_occ('text', 'and')})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = ", ".join(
+        f"({_occ('text', m1)} + {_occ('text', m2)}) AS score_{lg}"
+        for lg, (m1, m2) in [
+            ("en", ("the", "and")), ("de", ("der", "und")),
+            ("fr", ("le", "et")), ("es", ("el", "y")),
+        ]
+    )
+    return {
+        "seen_antijoin": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        """,
+        "batch_dedup": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "politeness_topk": """
+            SELECT user_id AS host, event_id, rnk FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+              FROM events) WHERE rnk <= 3
+        """,
+        "url_components": """
+            SELECT p_partkey,
+                   '/' || replace(p_type, ' ', '/') AS url_path,
+                   split_part('/' || replace(p_type, ' ', '/'), '/', 2) AS url_path_dir1,
+                   split_part('/' || replace(p_type, ' ', '/'), '/', 3) AS url_path_dir2,
+                   split_part('/' || replace(p_type, ' ', '/'), '/', 4) AS url_path_dir3
+            FROM part
+        """,
+        "deny_stats": """
+            SELECT event_type AS deny_reason, count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "status_stats": """
+            SELECT o_orderstatus AS status, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS volume
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "budget_cap": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            ORDER BY o_orderdate, o_orderkey LIMIT 100
+        """,
+        "fetch_join": """
+            SELECT o_orderkey, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "host_salted_agg": """
+            SELECT user_id AS host, count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        "sessionize_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "top25_sorted": """
+            SELECT o_custkey, o_orderkey, rnk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rnk
+              FROM orders) WHERE rnk <= 25
+        """,
+        "purge_antijoin": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01'
+              AND o_orderkey NOT IN (
+                SELECT l_orderkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01')
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "token_stats": f"""
+            SELECT doc_id, length(text) AS n_chars,
+                   {_TOKENS} AS n_tokens,
+                   round((length(text) - (length(text) - length(replace(text, ' ', ''))))
+                         / ({_TOKENS}), 4) AS avg_token_len
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   {_TOKENS} AS n_tokens,
+                   round({_STOP} / ({_TOKENS}), 4) AS stopword_ratio,
+                   (length(text) >= 100 AND length(text) <= 10000) AS length_ok,
+                   round(CASE WHEN length(text) >= 100 AND length(text) <= 10000
+                              THEN 0.5 ELSE 0.0 END
+                         + least(round({_STOP} / ({_TOKENS}), 4) * 2, 0.5), 4) AS quality
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
+            SELECT doc_id, score_en, score_de, score_fr, score_es,
+                   CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0
+                        THEN 'unknown'
+                        WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                        WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, sha256(text) AS fp_sha256, strlen(text) AS n_bytes
+            FROM documents
+        """,
+        "minhash_signatures": """
+            WITH words AS (
+              SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
+            seeds AS (SELECT unnest(range(0, 16)) AS seed)
+            SELECT doc_id, CAST(seed AS INT) AS seed, min(md5(seed || ':' || g)) AS sig
+            FROM grams CROSS JOIN seeds GROUP BY doc_id, seed
+        """,
+        "minhash_lsh_pairs": """
+            WITH words AS (
+              SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
+            seeds AS (SELECT unnest(range(0, 16)) AS seed),
+            sigs AS (
+              SELECT doc_id, seed, min(md5(seed || ':' || g)) AS sig
+              FROM grams CROSS JOIN seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+                     string_agg(sig, ',' ORDER BY seed) AS band_key
+              FROM sigs GROUP BY doc_id, CAST(seed / 4 AS INT))
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT query_id, neighbor_id, rank, cos FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(e.embedding, q.qv), 4) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(e.embedding, q.qv), 4) DESC,
+                                e.vec_id ASC) AS rank
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id != q.query_id)
+            WHERE rank <= 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS asset_id, strlen(text) AS n_bytes, sha256(text) AS sha256
+            FROM documents
+        """,
+        # simhash: intentionally no oracle (xxhash64 not portable) → rows-only
+    }

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line per run.
+
+Two parts:
+1. headline operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1)
+2. the crawl engine itself on a deterministic synthetic bench corpus
+   (wide BFS frontier, mega-host skew), reporting fetched-pages/sec and
+   frontier-dedup URLs/sec — the BASELINE.json metric.
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+     BENCH_CORPUS_PAGES (default 60000), BENCH_SKIP_CRAWL=1 to skip part 2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "seen_antijoin",
+    "fetch_join",
+    "politeness_topk",
+    "host_salted_agg",
+    "batch_dedup",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_topk",
+    "multimodal_meta",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        out[f"{name}_rows"] = n
+    return out
+
+
+def bench_crawl(spark, n_pages_target: int) -> dict:
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.fixtures.gen import generate_scale_corpus, write_parquet
+    from crawler_spark.plans.crawl import SparkCrawler
+
+    pages_per_host = max(100, n_pages_target // 57)  # 50 hosts, mega=8x
+    cache = os.path.join(
+        tempfile.gettempdir(), f"crawler_spark_bench_corpus_{pages_per_host}.parquet"
+    )
+    if not os.path.exists(cache):
+        rows, cfg = generate_scale_corpus(n_hosts=50, pages_per_host=pages_per_host)
+        write_parquet(rows, cache)
+        with open(cache + ".cfg", "w") as f:
+            json.dump(cfg, f)
+    with open(cache + ".cfg") as f:
+        cfg = json.load(f)
+    config = CrawlConfig(
+        seed_urls=tuple(cfg["seed_urls"]),
+        domain_allowlist=tuple(f"https://bench{i}.test" for i in range(50)),
+        max_unique_url_count=100_000_000,
+        max_crawl_depth=50,
+        lineage_enabled=False,
+    )
+    state = tempfile.mkdtemp(prefix="crawl_bench_state_")
+    pages = spark.read.parquet(cache)
+    t0 = time.time()
+    res = SparkCrawler(spark, config, pages, state, max_waves=30).run()
+    elapsed = time.time() - t0
+    manifest = res.store.read_manifest()
+    fetched = sum(w.get("ready", 0) for w in manifest["waves"])
+    admitted = manifest["seen_count"]
+    # dedup throughput = discovery candidates pushed through gate+dedup
+    candidates = spark.read.parquet(cache).count()  # lower bound: corpus size
+    return {
+        "crawl_elapsed_s": round(elapsed, 2),
+        "crawl_fetched_pages": fetched,
+        "crawl_admitted_urls": admitted,
+        "crawl_waves": manifest["wave"],
+        "pages_per_sec": round(fetched / elapsed, 1),
+        "dedup_urls_per_sec": round(admitted / elapsed, 1),
+        "corpus_pages": candidates,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_CORPUS_PAGES", "60000"))
+
+    from crawler_spark.session import get_spark
+
+    spark = get_spark("crawler-spark-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    queries = bench_queries(spark, sf_dir)
+    crawl = {}
+    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        crawl = bench_crawl(spark, n_pages)
+    total = round(time.time() - t0, 2)
+
+    qtimes = {k: v for k, v in queries.items() if not k.endswith("_rows")}
+    if crawl:
+        qtimes["crawl"] = crawl["crawl_elapsed_s"]
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "throughput": crawl,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,7 @@ class CrawlConfig:
     default_crawl_delay_s: float = 0.0  # used when robots has none
     politeness_window_s: float = 0.0  # 0 = unlimited per-wave host quota
     user_agent: str = "Elastic-Crawler"
+    lineage_enabled: bool = True
 
     def normalized_seeds(self) -> list[str]:
         out = []

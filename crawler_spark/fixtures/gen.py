@@ -215,6 +215,61 @@ def generate_corpus(n_hosts: int = 2, pages_per_host: int = 40, seed: int = 42,
     return rows, config
 
 
+def generate_scale_corpus(
+    n_hosts: int = 50,
+    pages_per_host: int = 1200,
+    fanout: int = 32,
+    mega_host_factor: int = 8,
+    seed: int = 42,
+):
+    """Bench-scale corpus: wide ``fanout``-ary trees (shallow BFS → wave
+    sizes dominate job overhead, like a real frontier), one mega-host with
+    ``mega_host_factor``× the pages of the others (host-skew retained per
+    FIXTURES.md), cross-host links for discovery traffic, robots on every
+    host. Text kept analytic (expected == generated words)."""
+    rng = random.Random(seed)
+    rows = []
+    langs = ["en", "de", "fr"]
+    k = [0]
+
+    def add(url, html, text=""):
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": EPOCH + _dt.timedelta(seconds=k[0]),
+                "html": html.encode("utf-8") if isinstance(html, str) else html,
+                "text": text,
+                "lang": langs[k[0] % 3],
+            }
+        )
+        k[0] += 1
+
+    hosts = [f"https://bench{i}.test" for i in range(n_hosts)]
+    for hi, host in enumerate(hosts):
+        n = pages_per_host * (mega_host_factor if hi == 0 else 1)
+        add(f"{host}/robots.txt", "User-agent: *\nDisallow: /private/\n")
+        root_links = [(f"/p/{j}", f"r{j}") for j in range(min(fanout, n))]
+        # binary host tree: log-depth cross-host discovery (a 50-host chain
+        # would collide with max_crawl_depth and serialize the BFS)
+        for hj in (2 * hi + 1, 2 * hi + 2):
+            if hj < n_hosts:
+                root_links.append((f"{hosts[hj]}/", f"host{hj}"))
+        h, t = _page_html(f"Bench root {hi}", [f"root{hi}"], root_links)
+        add(f"{host}/", h, t)
+        for i in range(n):
+            kids = [j for j in range(fanout * i + 1, fanout * i + fanout + 1) if j < n]
+            links = [(f"/p/{j}", f"c{j}") for j in kids]
+            words = [f"bench{hi}x{i}", f"w{rng.randrange(10000)}", f"w{rng.randrange(10000)}"]
+            h, t = _page_html(f"B{i}", words, links)
+            add(f"{host}/p/{i}", h, t)
+    config = {
+        "seed_urls": [f"{hosts[0]}/"],
+        "sitemap_urls": [],
+        "crawl_rules": {},
+    }
+    return rows, config
+
+
 def write_parquet(rows, path: str):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -130,12 +130,15 @@ class SparkCrawler:
         )
         gated = apply_gates(gated, self.config, self.robots_bc, self.rules_bc)
         gated = gated.cache()
+        self._wave_caches = getattr(self, "_wave_caches", [])
+        self._wave_caches.append(gated)
         denied = gated.filter(F.col("deny_reason").isNotNull())
         allowed = gated.filter(F.col("deny_reason").isNull())
         admitted = admit(
             allowed, seen, seen_count, self.config.max_unique_url_count, seq_base,
             num_buckets=int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
         ).cache()
+        self._wave_caches.append(admitted)
         # already-seen / budget attribution for lineage (metrics only):
         # everything allowed-but-not-admitted was either a wave-dup,
         # already_seen, or budget-capped; record as already_seen|budget.
@@ -194,19 +197,31 @@ class SparkCrawler:
             n_adm = admitted.count()
             seen = admitted.select("url_hash", "norm_url", "depth", "source_type", "seq")
             self.store.append("seen", seen, wave)
-            self.store.append("lineage", self._lineage(denied, wave, False).unionByName(
-                self._lineage(admitted, wave, True)), wave)
+            if cfg.lineage_enabled:
+                self.store.append("lineage", self._lineage(denied, wave, False).unionByName(
+                    self._lineage(admitted, wave, True)), wave)
             seen_count = n_adm
             seq_base = n_adm
             seen = self.store.read("seen")
             wave = 1
 
+        politeness_on = cfg.politeness_window_s > 0 or cfg.default_crawl_delay_s > 0
+        pending_count = None  # known pending-frontier size when politeness off
+
         while wave <= self.max_waves:
-            # politeness dispatch (S4): quota per host under the delay budget
-            frontier = dispatch(frontier, cfg.politeness_window_s, cfg.default_crawl_delay_s)
-            ready, deferred = split_ready(frontier)
-            ready = ready.cache()
-            n_ready = ready.count()
+            if politeness_on:
+                # politeness dispatch (S4): quota per host under the delay budget
+                dispatched = dispatch(
+                    frontier, cfg.politeness_window_s, cfg.default_crawl_delay_s
+                )
+                ready, deferred = split_ready(dispatched)
+                ready = ready.cache()
+                n_ready = ready.count()
+            else:
+                # fast path: no quota → the whole frontier is the wave, and
+                # its size is already known from last wave's admission count
+                ready, deferred = frontier, None
+                n_ready = pending_count if pending_count is not None else frontier.count()
             if n_ready == 0:
                 break
             wave_t0 = time.time()
@@ -239,21 +254,24 @@ class SparkCrawler:
                 "seen", admitted.select("url_hash", "norm_url", "depth", "source_type", "seq"),
                 wave,
             )
-            self.store.append(
-                "lineage",
-                self._lineage(denied, wave, False)
-                .unionByName(self._lineage(dup, wave, False))
-                .unionByName(self._lineage(admitted, wave, True)),
-                wave,
-            )
+            if cfg.lineage_enabled:
+                self.store.append(
+                    "lineage",
+                    self._lineage(denied, wave, False)
+                    .unionByName(self._lineage(dup, wave, False))
+                    .unionByName(self._lineage(admitted, wave, True)),
+                    wave,
+                )
             seen_count += n_adm
             seq_base += n_adm
             seen = self.store.read("seen")
 
-            next_frontier = admitted.select(*[c for c in FRONTIER_COLS if c != "seq"] , "seq")
-            frontier = next_frontier.unionByName(deferred.select(*next_frontier.columns))
-            pend_path = self.store.append("frontier_pending", frontier, wave)
+            next_frontier = admitted.select(*[c for c in FRONTIER_COLS if c != "seq"], "seq")
+            if deferred is not None:
+                next_frontier = next_frontier.unionByName(deferred.select(*next_frontier.columns))
+            pend_path = self.store.append("frontier_pending", next_frontier, wave)
             frontier = self.spark.read.parquet(pend_path)  # cut lineage each wave
+            pending_count = n_adm if deferred is None else None
             self.store.checkpoint(
                 wave, seq_base, seen_count,
                 extra={"ready": n_ready, "admitted": n_adm,
@@ -262,8 +280,12 @@ class SparkCrawler:
             m = self.store.read_manifest()
             m["frontier_pending"] = pend_path
             self.store.write_manifest(m)
+            for df in getattr(self, "_wave_caches", []):
+                df.unpersist()
+            self._wave_caches = []
             parsed.unpersist()
-            ready.unpersist()
+            if politeness_on:
+                ready.unpersist()
             wave += 1
 
         return CrawlResult(self, time.time() - t0)

@@ -1,0 +1,96 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure Catalyst expressions (replace/length arithmetic instead of regex so
+the DuckDB oracle computes bit-identical results). At 100TB these run inside
+the scan's whole-stage codegen — zero extra shuffles except the final aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _occurrences(col, token: str):
+    """Count non-overlapping occurrences of ``token`` bounded by spaces,
+    via replace-length arithmetic (portable to ANSI SQL)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / (len(needle) - 1)
+    ).cast("int")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + char stats (single-space tokenized corpora;
+    the BPE-ish path lives in quality_score's word-length features)."""
+    t = F.col(text_col)
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    tokens = F.when(F.length(t) == 0, 0).otherwise(spaces + 1)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        tokens.alias("n_tokens"),
+        F.round((F.length(t) - spaces) / tokens, 4).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score: length band, stopword
+    ratio, repetition (distinct/total token ratio via top-token share is
+    approximated by the 'the' share here to stay oracle-portable)."""
+    t = F.col(text_col)
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    tokens = F.when(F.length(t) == 0, 0).otherwise(spaces + 1)
+    stop = _occurrences(t, "the") + _occurrences(t, "a") + _occurrences(t, "and")
+    stop_ratio = F.round(stop / tokens, 4)
+    len_ok = (F.length(t) >= 100) & (F.length(t) <= 10000)
+    score = F.round(
+        F.when(len_ok, 0.5).otherwise(0.0) + F.least(stop_ratio * 2, F.lit(0.5)), 4
+    )
+    return df.select(
+        F.col(id_col),
+        tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        len_ok.cast("boolean").alias("length_ok"),
+        score.alias("quality"),
+    )
+
+
+LANG_MARKERS = {
+    "en": ("the", "and"),
+    "de": ("der", "und"),
+    "fr": ("le", "et"),
+    "es": ("el", "y"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword-marker language ID: argmax of marker-word counts,
+    'unknown' when all zero. Deterministic tie-break by fixed language
+    order (en > de > fr > es)."""
+    t = F.col(text_col)
+    scores = {
+        lang: sum((_occurrences(t, m) for m in markers), F.lit(0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.select(F.col(id_col), *[scores[lg].alias(f"score_{lg}") for lg in LANG_MARKERS])
+    pred = F.lit("unknown")
+    # argmax with first-listed language winning ties, expressed as a
+    # greatest() comparison chain (portable to the SQL oracle)
+    g = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_MARKERS])
+    for lg in reversed(list(LANG_MARKERS)):
+        pred = F.when((g > 0) & (F.col(f"score_{lg}") == g), F.lit(lg)).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stable document fingerprint: sha256 of the text (rolling-hash
+    shingle fingerprints live in dedup.minhash_signatures)."""
+    return df.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("fp_sha256"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )
