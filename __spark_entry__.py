@@ -422,9 +422,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, seed, min(md5(seed || ':' || g)) AS sig
               FROM grams CROSS JOIN seeds GROUP BY doc_id, seed),
             bands AS (
-              SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+              -- NB: // (floor division) — plain / is float division in DuckDB
+              -- and CAST rounds, which would scramble band membership
+              SELECT doc_id, CAST(seed // 4 AS INT) AS band,
                      string_agg(sig, ',' ORDER BY seed) AS band_key
-              FROM sigs GROUP BY doc_id, CAST(seed / 4 AS INT))
+              FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT))
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id

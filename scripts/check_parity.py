@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Driver-style correctness check: run every queries() entry vs its
+oracle_sql() twin side-by-side (Spark vs DuckDB) at an arbitrary SF dir.
+
+Usage: python scripts/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 4)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:19]
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in idx) for r in rows
+    ), [cols[i] for i in idx]
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from crawler_spark.session import get_spark
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    spark = get_spark("parity-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name in sorted(queries):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = queries[name](spark, sf)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:24s} rows-only  n={len(srows)}  ({t_spark:.1f}s)")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        t_duck = time.time() - t0
+        sset, sc = _rowset(scols, srows)
+        dset, dc = _rowset(dcols, drows)
+        status = "OK"
+        if sc != dc:
+            status = f"COLS spark={sc} duck={dc}"
+        elif len(sset) != len(dset):
+            status = f"ROWCOUNT {len(sset)} vs {len(dset)}"
+        else:
+            mism = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b]
+            if mism:
+                status = (
+                    f"VALUES {len(mism)} mismatches; first #{mism[0]}: "
+                    f"spark={sset[mism[0]]} duck={dset[mism[0]]}"
+                )
+        if status != "OK":
+            failures.append(name)
+        print(
+            f"  {name:24s} {status}  n={len(sset)}  "
+            f"(spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
+        )
+    print(f"\n{'FAIL: ' + ', '.join(failures) if failures else 'ALL OK'}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
