@@ -45,23 +45,34 @@ def wave_dedup(candidates: DataFrame) -> DataFrame:
     )
 
 
-def ordered_global_rank(df: DataFrame, num_buckets: int = 32) -> DataFrame:
+def ordered_global_rank(
+    df: DataFrame, num_buckets: int = 32, seq_span: tuple[int, int] | None = None
+) -> tuple[DataFrame, int]:
     """Deterministic global row_number over ADMISSION_ORDER without a
-    single-task global sort.
+    single-task global sort. Returns (ranked_df, total_rows).
 
     A bare ``Window.orderBy`` funnels the whole wave through one task — fine
     at test scale, a hard bottleneck at 10^10. Instead: ``parent_seq`` is a
-    dense admission sequence whose [min, max] is known per wave, so
+    dense admission sequence bounded by the known seq watermark, so
     *analytic range bucketing* on it yields buckets that are already
     globally ordered (every key in bucket b sorts before every key in
     bucket b+1). Rank locally per bucket (parallel window), then add
     per-bucket cumulative offsets (a tiny P-row aggregate collected to the
     driver). Fully deterministic — no sampling, no spark_partition_id.
+
+    ``seq_span=(lo, hi_exclusive)``: the known bound on parent_seq values
+    (all parents were admitted before the current watermark), which skips a
+    min/max job — the per-wave job count matters more than perfect bucket
+    balance, and the offsets are computed from actual counts so ranking
+    stays exact even when buckets skew.
     """
-    mn, mx = df.agg(F.min("parent_seq"), F.max("parent_seq")).first()
-    if mn is None:
-        return df.withColumn("_rank", F.lit(None).cast("long"))
-    span = (mx - mn) + 1
+    if seq_span is not None:
+        mn, span = seq_span[0], max(1, seq_span[1] - seq_span[0])
+    else:
+        mnmx = df.agg(F.min("parent_seq"), F.max("parent_seq")).first()
+        if mnmx[0] is None:
+            return df.withColumn("_rank", F.lit(None).cast("long")), 0
+        mn, span = mnmx[0], (mnmx[1] - mnmx[0]) + 1
     bkt = F.least(
         F.lit(num_buckets - 1),
         ((F.col("parent_seq") - F.lit(mn)) * num_buckets / F.lit(span)).cast("int"),
@@ -79,7 +90,7 @@ def ordered_global_rank(df: DataFrame, num_buckets: int = 32) -> DataFrame:
     return (
         ranked.withColumn("_rank", (off_map[F.col("_bkt")] + F.col("_lrank")).cast("long"))
         .drop("_bkt", "_lrank")
-    )
+    ), acc
 
 
 def admit(
@@ -89,18 +100,32 @@ def admit(
     max_unique: int,
     seq_base: int,
     num_buckets: int = 32,
-) -> DataFrame:
-    """Full admission pipeline → admitted rows with final ``seq``.
+    cache_tracker: list | None = None,
+) -> tuple[DataFrame, int]:
+    """Full admission pipeline → (admitted rows with final ``seq``, count).
 
     ``allowed`` must already carry url_hash and have deny_reason null.
     ``seen`` is the url_hash seen table (None on the first wave).
+
+    The admitted count falls out of the rank-offset aggregate: ranks are
+    dense 1..N over survivors, so ``n = min(N, budget_left)`` — no extra
+    count job. The deduped survivor set is cached (registered on
+    ``cache_tracker`` for end-of-wave unpersist) so the gate UDF + dedup
+    window + seen anti-join run exactly once per wave: the rank-offset
+    collect materializes the cache and the later rank/filter reads it.
     """
     deduped = wave_dedup(allowed)
     if seen is not None:
         deduped = deduped.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+    deduped = deduped.cache()
+    if cache_tracker is not None:
+        cache_tracker.append(deduped)
     budget_left = max(0, max_unique - seen_count)
-    ranked = ordered_global_rank(deduped, num_buckets=num_buckets)
-    admitted = ranked.filter(F.col("_rank") <= budget_left)
-    return admitted.withColumn("seq", (F.col("_rank") + F.lit(seq_base)).cast("long")).drop(
-        "_rank"
+    ranked, total = ordered_global_rank(
+        deduped, num_buckets=num_buckets, seq_span=(0, seq_base + 1)
     )
+    admitted = ranked.filter(F.col("_rank") <= budget_left)
+    admitted = admitted.withColumn(
+        "seq", (F.col("_rank") + F.lit(seq_base)).cast("long")
+    ).drop("_rank")
+    return admitted, min(total, budget_left)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -46,6 +47,9 @@ CANDIDATE_SCHEMA = StructType(
         StructField("parent_seq", LongType()),
         StructField("sub_order", LongType()),
         StructField("redirect_chain", ArrayType(StringType())),
+        # norm_url is RAW when true; the gate UDF normalizes in the same
+        # Python pass (one Arrow round-trip per wave instead of two)
+        StructField("needs_norm", BooleanType()),
     ]
 )
 
@@ -72,8 +76,19 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
             for site, specs in (rules_bc.value or {}).items()
         }
         for pdf in it:
-            reasons, host_keys, delays = [], [], []
-            for url, task_type in zip(pdf["norm_url"], pdf["task_type"]):
+            needs = pdf["needs_norm"] if "needs_norm" in pdf else None
+            norms, reasons, host_keys, delays = [], [], [], []
+            for i, (url, task_type) in enumerate(zip(pdf["norm_url"], pdf["task_type"])):
+                if needs is not None and needs.iat[i] and url is not None:
+                    url = U.try_normalize(url)[0]
+                norms.append(url)
+                if url is None:
+                    # unparseable link — dropped by the caller (link.rb:70-83
+                    # invalid links are never enqueued)
+                    host_keys.append(None)
+                    delays.append(0)
+                    reasons.append(None)
+                    continue
                 host_key = U.url_host_key(url)
                 host_keys.append(host_key)
                 rb = robots.get(host_key)
@@ -82,6 +97,7 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
                 )
                 reasons.append(_verdict(url, task_type, cfg, allowed_sites, rb, engines))
             out = pdf.copy()
+            out["norm_url"] = norms
             out["deny_reason"] = reasons
             out["host_key"] = host_keys
             out["crawl_delay_ms"] = delays
@@ -128,6 +144,9 @@ def apply_gates(
     gated = candidates.mapInPandas(
         make_gate_udf(cfg, robots_bc, rules_bc, allowed), schema=schema
     )
+    gated = gated.filter(F.col("norm_url").isNotNull())
+    if "needs_norm" in gated.columns:
+        gated = gated.drop("needs_norm")
     return gated.withColumn(
         "deny_reason",
         F.coalesce(

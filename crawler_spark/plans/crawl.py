@@ -118,26 +118,33 @@ class SparkCrawler:
                 T.StructField("parent_seq", T.LongType()),
                 T.StructField("sub_order", T.LongType()),
                 T.StructField("redirect_chain", T.ArrayType(T.StringType())),
+                T.StructField("needs_norm", T.BooleanType()),
             ]
         )
         return self.spark.createDataFrame(rows, schema)
 
     def _gate_and_admit(self, candidates: DataFrame, seen: DataFrame | None,
                         seen_count: int, seq_base: int, wave: int):
-        """Gate chain → denied lineage rows + admitted frontier rows."""
-        gated = candidates.withColumn(
+        """Gate chain → denied lineage rows + admitted frontier rows +
+        admitted count (derived, no count job)."""
+        gated = apply_gates(candidates, self.config, self.robots_bc, self.rules_bc)
+        gated = gated.withColumn(
             "url_hash", F.sha1(F.encode(F.col("norm_url"), "utf-8"))
         )
-        gated = apply_gates(gated, self.config, self.robots_bc, self.rules_bc)
-        gated = gated.cache()
         self._wave_caches = getattr(self, "_wave_caches", [])
-        self._wave_caches.append(gated)
+        if self.config.lineage_enabled:
+            # gated feeds both the denied-lineage rows and the admission
+            # chain — worth caching; without lineage it has one consumer
+            gated = gated.cache()
+            self._wave_caches.append(gated)
         denied = gated.filter(F.col("deny_reason").isNotNull())
         allowed = gated.filter(F.col("deny_reason").isNull())
-        admitted = admit(
+        admitted, n_adm = admit(
             allowed, seen, seen_count, self.config.max_unique_url_count, seq_base,
             num_buckets=int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
-        ).cache()
+            cache_tracker=self._wave_caches,
+        )
+        admitted = admitted.cache()
         self._wave_caches.append(admitted)
         # already-seen / budget attribution for lineage (metrics only):
         # everything allowed-but-not-admitted was either a wave-dup,
@@ -146,7 +153,7 @@ class SparkCrawler:
             admitted.select("url_hash", "norm_url").withColumnRenamed("norm_url", "_a"),
             on="url_hash", how="left_anti",
         ).withColumn("deny_reason", F.lit("already_seen_or_budget"))
-        return denied, not_admitted, admitted
+        return denied, not_admitted, admitted, n_adm
 
     def _lineage(self, df: DataFrame, wave: int, admitted: bool) -> DataFrame:
         return df.select(
@@ -179,7 +186,7 @@ class SparkCrawler:
             seen_count = 0
             # seeds (S1) at depth 1 + sitemaps (S3) at depth 1
             rows = [
-                (u, "content", 1, "seed-list", None, 0, i, [])
+                (u, "content", 1, "seed-list", None, 0, i, [], False)
                 for i, u in enumerate(cfg.normalized_seeds())
             ]
             smaps = list(cfg.sitemap_urls)
@@ -187,14 +194,13 @@ class SparkCrawler:
                 for hk in sorted(robots):
                     smaps.extend(robots_mod.RobotRules.from_tuple(robots[hk]).sitemaps)
             rows += [
-                (U.try_normalize(u)[0], "sitemap", 1, "sitemap", None, 0, 10_000 + i, [])
+                (U.try_normalize(u)[0], "sitemap", 1, "sitemap", None, 0, 10_000 + i, [], False)
                 for i, u in enumerate(smaps)
                 if U.try_normalize(u)[0]
             ]
             candidates = self._candidates_df(rows)
-            denied, dup, admitted = self._gate_and_admit(candidates, None, 0, 0, wave)
+            denied, dup, admitted, n_adm = self._gate_and_admit(candidates, None, 0, 0, wave)
             frontier = admitted
-            n_adm = admitted.count()
             seen = admitted.select("url_hash", "norm_url", "depth", "source_type", "seq")
             self.store.append("seen", seen, wave)
             if cfg.lineage_enabled:
@@ -225,6 +231,12 @@ class SparkCrawler:
             if n_ready == 0:
                 break
             wave_t0 = time.time()
+            phases = {}
+
+            def _mark(name, t0=[wave_t0]):
+                now = time.time()
+                phases[name] = round(now - t0[0], 3)
+                t0[0] = now
 
             # fetch (offline join) + parse, one pass
             fetched = fetch_join(ready.select(
@@ -235,6 +247,7 @@ class SparkCrawler:
             # docs Δ (S6 MERGE equivalent)
             docs = docs_from_parsed(parsed, cfg)
             self.store.append("docs", docs, wave)
+            _mark("fetch_parse_docs")
 
             # fetch metrics (A3)
             self.store.append(
@@ -242,18 +255,20 @@ class SparkCrawler:
                 parsed.groupBy("kind", "status", "depth").agg(F.count("*").alias("n")),
                 wave,
             )
+            _mark("metrics")
 
             # discovery: redirect ∪ canonical ∪ organic ∪ sitemap links
             candidates = self._discoveries(parsed)
 
-            denied, dup, admitted = self._gate_and_admit(
+            denied, dup, admitted, n_adm = self._gate_and_admit(
                 candidates, seen, seen_count, seq_base, wave
             )
-            n_adm = admitted.count()
+            _mark("gates_admit")
             self.store.append(
                 "seen", admitted.select("url_hash", "norm_url", "depth", "source_type", "seq"),
                 wave,
             )
+            _mark("seen_merge")
             if cfg.lineage_enabled:
                 self.store.append(
                     "lineage",
@@ -262,6 +277,7 @@ class SparkCrawler:
                     .unionByName(self._lineage(admitted, wave, True)),
                     wave,
                 )
+                _mark("lineage")
             seen_count += n_adm
             seq_base += n_adm
             seen = self.store.read("seen")
@@ -272,10 +288,12 @@ class SparkCrawler:
             pend_path = self.store.append("frontier_pending", next_frontier, wave)
             frontier = self.spark.read.parquet(pend_path)  # cut lineage each wave
             pending_count = n_adm if deferred is None else None
+            _mark("frontier_merge")
             self.store.checkpoint(
                 wave, seq_base, seen_count,
                 extra={"ready": n_ready, "admitted": n_adm,
-                       "wave_s": round(time.time() - wave_t0, 3)},
+                       "wave_s": round(time.time() - wave_t0, 3),
+                       "phases": phases},
             )
             m = self.store.read_manifest()
             m["frontier_pending"] = pend_path
@@ -312,6 +330,7 @@ class SparkCrawler:
                 F.concat(
                     F.coalesce(F.col("redirect_chain"), F.array()), F.array(F.col("norm_url"))
                 ).alias("redirect_chain"),
+                F.lit(False).alias("needs_norm"),  # parse UDF normalized it
             )
         )
         html = p.filter(F.col("kind") == "html")
@@ -371,13 +390,14 @@ class SparkCrawler:
             (F.col("pos") + 1_000_000).cast("long").alias("sub_order"),
         )
         # raw links need normalization (links were resolved but not
-        # normalized); redirects already normalized in the parse UDF.
-        from ..sources.pages import normalize_url_udf
-
+        # normalized) — flagged needs_norm, done inside the gate UDF in the
+        # same Python pass as the verdicts (one Arrow round-trip per wave)
         raw = canonical.unionByName(organic).unionByName(sm_links).unionByName(sm_content)
-        raw = raw.withColumn("norm_url", normalize_url_udf(F.col("raw_url"))).filter(
-            F.col("norm_url").isNotNull()
-        ).drop("raw_url").withColumn("redirect_chain", F.array().cast("array<string>"))
+        raw = (
+            raw.withColumnRenamed("raw_url", "norm_url")
+            .withColumn("redirect_chain", F.array().cast("array<string>"))
+            .withColumn("needs_norm", F.lit(True))
+        )
         return redirects.unionByName(raw.select(*redirects.columns))
 
 
