@@ -59,15 +59,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact_dedup_groups,
         minhash_lsh_pairs,
         minhash_signatures,
+        ngram_jaccard_pairs,
         simhash,
+        simhash_hamming_pairs,
     )
-    from crawler_spark.textops.multimodal import extract_metadata
-    from crawler_spark.textops.similarity import brute_force_topk
+    from crawler_spark.textops.multimodal import extract_metadata, frame_sample_stub
+    from crawler_spark.textops.similarity import (
+        brute_force_topk,
+        cosine_dup_pairs,
+        ivf_topk,
+        lsh_topk,
+    )
     from crawler_spark.textops.textstats import (
         fingerprint,
         lang_id,
         quality_score,
         token_stats,
+        winnow_fingerprints,
     )
 
     def seen_antijoin(spark, sf):
@@ -239,6 +247,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_metadata(docs).select("asset_id", "n_bytes", "sha256")
 
+    def ngram_jaccard(spark, sf):
+        # exact n-gram Jaccard verification over LSH candidate pairs
+        return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+    def cosine_dups(spark, sf):
+        # embedding-cosine near-duplicate pairs (exact baseline)
+        return cosine_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+    def ivf_ann(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=2, k=10)
+
+    def lsh_ann(spark, sf):
+        # rows-only: hyperplane signs have no portable SQL twin; recall vs
+        # the exact path is asserted in tests/test_textops.py
+        import random
+
+        rng = random.Random(7)
+        planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+        emb = _t(spark, sf, "embeddings")
+        return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), planes, k=10)
+
+    def winnow(spark, sf):
+        return winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+
+    def simhash_hamming(spark, sf):
+        # rows-only (xxhash64 base); exact-dup docs guarantee hamming-0 pairs
+        return simhash_hamming_pairs(_t(spark, sf, "documents"), max_dist=3)
+
+    def mm_frame_sample(spark, sf):
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+        return frame_sample_stub(docs, every_n=10)
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -262,6 +306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": simhash_fps,
         "ann_topk": ann_topk,
         "multimodal_meta": multimodal_meta,
+        "ngram_jaccard": ngram_jaccard,
+        "cosine_dups": cosine_dups,
+        "ivf_ann_topk": ivf_ann,
+        "lsh_ann_topk": lsh_ann,
+        "winnow_fingerprint": winnow,
+        "simhash_hamming": simhash_hamming,
+        "mm_frame_sample": mm_frame_sample,
     }
 
 
@@ -449,5 +500,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id, strlen(text) AS n_bytes, sha256(text) AS sha256
             FROM documents
         """,
-        # simhash: intentionally no oracle (xxhash64 not portable) → rows-only
+        "ngram_jaccard": """
+            WITH words AS (
+              SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
+            seeds AS (SELECT unnest(range(0, 16)) AS seed),
+            sigs AS (
+              SELECT doc_id, seed, min(md5(seed || ':' || g)) AS sig
+              FROM grams CROSS JOIN seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                     string_agg(sig, ',' ORDER BY seed) AS band_key
+              FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            gd AS (SELECT DISTINCT doc_id, g FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN gd a ON a.doc_id = p.id_a
+              JOIN gd b ON b.doc_id = p.id_b AND b.g = a.g
+              GROUP BY p.id_a, p.id_b)
+            SELECT id_a, id_b,
+                   round(i / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
+        """,
+        "cosine_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45
+        """,
+        "ivf_ann_topk": """
+            WITH c AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+            assign AS (
+              SELECT e.vec_id AS neighbor_id, e.embedding AS v_vec, c.cent_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.embedding, c.cent_vec), 6) DESC,
+                                c.cent_id ASC) AS r
+              FROM embeddings e CROSS JOIN c),
+            inv AS (SELECT neighbor_id, v_vec, cent_id FROM assign WHERE r = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                  FROM embeddings WHERE vec_id < 5),
+            qa AS (
+              SELECT q.query_id, q.q_vec, c.cent_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.q_vec, c.cent_vec), 6) DESC,
+                                c.cent_id ASC) AS r
+              FROM q CROSS JOIN c),
+            probes AS (SELECT query_id, q_vec, cent_id FROM qa WHERE r <= 2),
+            scored AS (
+              SELECT p.query_id, i.neighbor_id,
+                     round(list_cosine_similarity(i.v_vec, p.q_vec), 4) AS cos
+              FROM inv i JOIN probes p USING (cent_id)
+              WHERE i.neighbor_id != p.query_id)
+            SELECT query_id, neighbor_id, rank, cos FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 10
+        """,
+        "winnow_fingerprint": """
+            WITH g AS (
+              SELECT doc_id,
+                     [md5(substr(text, CAST(i AS INT), 8))
+                      for i in range(1, greatest(1, length(text) - 7) + 1)] AS grams
+              FROM documents),
+            sel AS (
+              SELECT doc_id,
+                     list_distinct([
+                       list_min(grams[CAST(i AS INT):CAST(i + 3 AS INT)])
+                       for i in range(1, greatest(1, len(grams) - 3) + 1)]) AS fps
+              FROM g)
+            SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel
+        """,
+        "mm_frame_sample": """
+            SELECT doc_id AS asset_id,
+                   unnest(generate_series(
+                     0, CAST(floor(strlen(text) / 100.0) + 1 AS INT) - 1, 10)) AS frame_idx
+            FROM documents
+        """,
+        # rows-only (no portable SQL twin): simhash + simhash_hamming
+        # (xxhash64 hash family), lsh_ann_topk (random-hyperplane signs;
+        # recall vs exact asserted in tests/test_textops.py)
     }

@@ -78,12 +78,46 @@ PARSED_SCHEMA = StructType(
 )
 
 
-def fetch_join(wave: DataFrame, pages: DataFrame, broadcast_wave: bool = True) -> DataFrame:
-    """Frontier wave ⋈ pages on url_hash (left outer: misses become errors)."""
-    w = F.broadcast(wave) if broadcast_wave else wave
-    return w.join(
-        pages.select("url_hash", "html", "warc_ts"), on="url_hash", how="left"
+def fetch_join(
+    wave: DataFrame,
+    pages: DataFrame,
+    broadcast_wave: bool = True,
+    cache_tracker: list | None = None,
+) -> DataFrame:
+    """Frontier wave ⋈ pages on url_hash (left-outer semantics: misses
+    become 404/error rows in the parse stage).
+
+    A naive ``wave.join(pages, 'left')`` cannot broadcast the wave (the
+    preserved side of an outer join is never the build side), so Spark
+    sort-merge-joins and re-shuffles the ENTIRE corpus every wave — the
+    dominant fixed cost per wave once the corpus outgrows the frontier.
+    Instead:
+
+    * hits  = ``pages ⋈ broadcast(wave)`` INNER — the wave is the build
+      side, the cached corpus streams in place with no shuffle and no
+      re-serialization of the html blobs;
+    * misses = ``wave ⟕̸ broadcast(hit-keys)`` LEFT ANTI — hit-keys are
+      wave-sized, so this broadcasts too (hits are cached first so the
+      corpus probe runs once).
+
+    At 10^10 pages with a >100M-row wave, set ``broadcast_wave=False`` for
+    the bucketed shuffle join (both tables Iceberg-bucketed on url_hash).
+    """
+    page_cols = pages.select("url_hash", "html", "warc_ts")
+    if not broadcast_wave:
+        return wave.join(page_cols, on="url_hash", how="left")
+    hits = page_cols.join(F.broadcast(wave), on="url_hash", how="inner")
+    hits = hits.cache()
+    if cache_tracker is not None:
+        cache_tracker.append(hits)
+    misses = wave.join(
+        F.broadcast(hits.select("url_hash")), on="url_hash", how="left_anti"
+    ).select(
+        "*",
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
     )
+    return hits.select(misses.columns).unionByName(misses)
 
 
 def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Iterator[pd.DataFrame]:

@@ -60,7 +60,13 @@ class SparkCrawler:
     ):
         self.spark = spark
         self.config = config
-        self.pages = prepare_pages(pages).select("url_hash", "norm_url", "html", "warc_ts")
+        # repartition by the join identity: the source parquet may arrive in
+        # a handful of file-splits, which would cap every downstream stage's
+        # parallelism (and the fetch probe) at that width
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.pages = prepare_pages(pages, repartition=n_part).select(
+            "url_hash", "norm_url", "html", "warc_ts"
+        )
         self.pages.cache()
         self.store = StateStore(spark, state_dir)
         self.max_waves = max_waves
@@ -239,9 +245,11 @@ class SparkCrawler:
                 t0[0] = now
 
             # fetch (offline join) + parse, one pass
+            self._wave_caches = getattr(self, "_wave_caches", [])
             fetched = fetch_join(ready.select(
                 "url_hash", "norm_url", "task_type", "depth", "seq", "redirect_chain"
-            ), self.pages, broadcast_wave=n_ready < 2_000_000)
+            ), self.pages, broadcast_wave=n_ready < 2_000_000,
+                cache_tracker=self._wave_caches)
             parsed = parse_wave(fetched, cfg).cache()
 
             # docs Δ (S6 MERGE equivalent)

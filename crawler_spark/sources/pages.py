@@ -32,12 +32,16 @@ def load_pages(spark: SparkSession, path: str) -> DataFrame:
 
 def prepare_pages(pages: DataFrame, repartition: int | None = None) -> DataFrame:
     """Add norm_url + url_hash; url_hash via JVM-side sha1 (E2 —
-    F.sha1(encode(norm,utf8)) ≡ Ruby Digest::SHA1.hexdigest)."""
-    out = (
+    F.sha1(encode(norm,utf8)) ≡ Ruby Digest::SHA1.hexdigest).
+
+    Repartition happens BEFORE the normalize UDF: the corpus often arrives
+    in a few large file-splits, and normalizing on those would cap the
+    Python stage at the split count. Partitioning on the raw url is as
+    uniform as on the hash and keeps the plan deterministic."""
+    if repartition:
+        pages = pages.repartition(repartition, "url")
+    return (
         pages.withColumn("norm_url", normalize_url_udf(F.col("url")))
         .filter(F.col("norm_url").isNotNull())
         .withColumn("url_hash", F.sha1(F.encode(F.col("norm_url"), "utf-8")))
     )
-    if repartition:
-        out = out.repartition(repartition, "url_hash")
-    return out

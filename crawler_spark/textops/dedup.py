@@ -118,6 +118,47 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return votes.select(id_col, sim.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame, max_dist: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_dist.
+
+    Pigeonhole band trick: split the 64-bit simhash into 4 × 16-bit chunks —
+    any pair within hamming distance ≤ 3 must agree exactly on ≥ 1 chunk, so
+    the self-join runs per (chunk_idx, chunk_value) bucket instead of all
+    pairs; survivors are verified with an exact popcount. (For max_dist ≥ 4
+    the guarantee needs ≥ max_dist+1 chunks — assert the invariant.)
+    """
+    assert max_dist <= 3, "4-chunk pigeonhole covers hamming distance <= 3"
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_idx"),
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.expr("sh_a ^ sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, threshold: float = 0.5, gram: int = 3,
     text_col: str = "text", id_col: str = "doc_id",

@@ -71,6 +71,166 @@ def hyperplane_bucket(df: DataFrame, planes: list, id_col: str = "vec_id",
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
 
+def cosine_dup_pairs(
+    vectors: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding", n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
+
+    Exact all-pairs baseline as a *distributed blocked GEMM*: vectors are
+    hashed into ``n_blocks`` blocks, every unordered block pair (a ≤ b)
+    becomes one ``applyInPandas`` group, and each group computes its
+    similarity tile with one numpy matmul — Arrow-batched, no driver
+    collect, no per-pair lambda interpretation (Spark's zip_with/aggregate
+    higher-order funcs are interpreted, ~100× slower per pair). Each row is
+    replicated n_blocks times; tile count is n_blocks·(n_blocks+1)/2, so
+    parallelism scales quadratically in n_blocks while replication scales
+    linearly — the standard all-pairs trade. Scale path at 10^9 vectors:
+    LSH candidate generation + per-pair verify (``cosine_dup_pairs_lsh``).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    # replicate each row into every block-pair tile it participates in
+    tiles = F.array(*(
+        [F.struct(F.col("blk").alias("ga"), F.lit(b).cast("int").alias("gb"))
+         for b in range(n_blocks)]
+    ))
+    expl = (
+        v.select("id", "vec", "blk", F.explode(tiles).alias("t"))
+        .select(
+            "id", "vec", "blk",
+            F.least("blk", F.col("t.gb")).alias("ga"),
+            F.greatest("blk", F.col("t.gb")).alias("gb"),
+        )
+        .dropDuplicates(["id", "ga", "gb"])
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = key
+        mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        if ga == gb:
+            sims = unit @ unit.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            id_a, id_b, cs = ids[ia], ids[ib], sims[ia, ib]
+        else:
+            am, bm = blks == ga, blks == gb
+            sims = unit[am] @ unit[bm].T
+            id_a = np.repeat(ids[am], bm.sum())
+            id_b = np.tile(ids[bm], am.sum())
+            cs = sims.ravel()
+        cs = np.round(cs, 4)
+        keep = cs >= threshold
+        lo = np.minimum(id_a, id_b)[keep]
+        hi = np.maximum(id_a, id_b)[keep]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cs[keep]})
+
+    return expl.groupBy("ga", "gb").applyInPandas(gemm, out_schema)
+
+
+def cosine_dup_pairs_lsh(
+    vectors: DataFrame, planes_bands: list, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via LSH candidate generation + exact verification.
+
+    planes_bands: list of plane-lists; each band buckets independently and
+    candidates are the union of same-bucket pairs — the embedding analog of
+    minhash band LSH. Verification recomputes the exact cosine, so false
+    positives cost only compute, never correctness; false negatives are the
+    standard LSH recall trade documented per band count.
+    """
+    cands = None
+    for bi, planes in enumerate(planes_bands):
+        vb = hyperplane_bucket(vectors, planes, id_col, vec_col)
+        a = vb.select(F.col(id_col).alias("id_a"), F.col("bucket"))
+        b = vb.select(F.col(id_col).alias("id_b"), F.col("bucket"))
+        c = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb2 = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a").join(vb2, "id_b")
+        .select("id_a", "id_b", F.round(_cosine("va", "vb"), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame, queries: DataFrame, n_centroids: int = 8, n_probe: int = 2,
+    k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition vectors by nearest centroid, probe only the
+    query's ``n_probe`` nearest inverted lists.
+
+    Centroids are a deterministic id-stratified sample of the vectors
+    themselves (no iterative k-means — at 100TB you train centroids offline
+    once and broadcast them; the assignment/probe dataflow here is the
+    production shape). All distance math is JVM-side via the same
+    zip_with/aggregate expressions as the exact path.
+    """
+    from pyspark.sql import Window
+
+    # deterministic centroid sample: first n_centroids vectors by id
+    cents = (
+        vectors.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+
+    def assign(df, idc, vc, keep: int):
+        """nearest-`keep` centroids per row via broadcast join + rank."""
+        scored = df.join(F.broadcast(cents)).select(
+            F.col(idc), F.col(vc),
+            F.col("cent_id"), F.round(_cosine(vc, "cent_vec"), 6).alias("csim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep)
+            .drop("_r", "csim")
+        )
+
+    inv = assign(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")),
+        "neighbor_id", "v_vec", 1,
+    )
+    probes = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id", "q_vec", n_probe,
+    )
+    pairs = inv.join(F.broadcast(probes), on="cent_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(_cosine("v_vec", "q_vec"), 4).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame, queries: DataFrame, planes: list, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

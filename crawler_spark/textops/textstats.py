@@ -94,3 +94,37 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.sha2(F.col(text_col), 256).alias("fp_sha256"),
         F.octet_length(F.col(text_col)).alias("n_bytes"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 8, w: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    hash every character k-gram, then keep the minimum hash of each
+    w-position sliding window — the standard local-fingerprinting scheme
+    for plagiarism/near-dup detection that guarantees a match for any
+    shared substring of length ≥ k + w - 1.
+
+    The k-gram "rolling hash" is md5 of the gram: lexicographic min over
+    hex strings is engine-portable (same trick as minhash_signatures), and
+    md5-per-gram inside codegen beats a Python rolling loop at Spark scale.
+    Output: one row per distinct selected (doc, fingerprint).
+    """
+    t = F.col(text_col)
+    n_grams = F.greatest(F.lit(1), F.length(t) - F.lit(k - 1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(t.substr(i, F.lit(k))),
+    )
+    # windows of w consecutive gram hashes -> min each; dedup via distinct
+    n_windows = F.greatest(F.lit(1), F.size(F.col("_grams")) - F.lit(w - 1))
+    sel = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(F.col("_grams"), i, w)),
+    )
+    return (
+        df.select(F.col(id_col), grams.alias("_grams"))
+        .select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("fp"))
+        .distinct()
+    )

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+Runs the IDENTICAL crawl job on the IDENTICAL synthetic corpus at two
+parallelism levels (default N=local[8], 4N=local[32]) in fresh JVMs, and
+reports fetched-pages/sec + frontier-dedup URLs/sec at both plus
+
+    efficiency = throughput(4N) / (4 * throughput(N))
+
+The sandbox has one machine, so parallelism levels substitute for executor
+counts (documented in BASELINE.md). Results land in BENCH/scaling.json and
+the human-readable table in BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [--pages 500000] [--n 8] [--xn 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = """
+import sys, json, time, tempfile
+sys.path.insert(0, {repo!r})
+from crawler_spark.session import get_spark
+from crawler_spark.config import CrawlConfig
+from crawler_spark.plans.crawl import SparkCrawler
+cores = {cores}
+spark = get_spark("scaling-%d" % cores, cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+cfg = json.load(open({corpus!r} + ".cfg"))
+config = CrawlConfig(
+    seed_urls=tuple(cfg["seed_urls"]),
+    domain_allowlist=tuple("https://bench%d.test" % i for i in range({n_hosts})),
+    max_unique_url_count=1_000_000_000, max_crawl_depth=64,
+    lineage_enabled=False)
+pages = spark.read.parquet({corpus!r})
+state = tempfile.mkdtemp(prefix="scaling_state_%d_" % cores)
+t0 = time.time()
+res = SparkCrawler(spark, config, pages, state, max_waves=64).run()
+elapsed = time.time() - t0
+m = res.store.read_manifest()
+out = dict(
+    cores=cores, elapsed_s=round(elapsed, 2),
+    fetched_pages=sum(w.get("ready", 0) for w in m["waves"]),
+    admitted_urls=m["seen_count"], waves=m["wave"],
+    wave_detail=[{{k: w.get(k) for k in ("wave", "ready", "admitted", "wave_s", "phases")}}
+                 for w in m["waves"]],
+)
+out["pages_per_sec"] = round(out["fetched_pages"] / elapsed, 1)
+out["dedup_urls_per_sec"] = round(out["admitted_urls"] / elapsed, 1)
+print("SCALING_RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def ensure_corpus(n_pages: int) -> tuple[str, int]:
+    sys.path.insert(0, REPO)
+    from crawler_spark.fixtures.gen import generate_scale_corpus, write_parquet
+
+    n_hosts = 50
+    pages_per_host = max(100, n_pages // 57)  # mega-host = 8x
+    path = os.path.join(
+        tempfile.gettempdir(), f"crawler_spark_scaling_corpus_{pages_per_host}.parquet"
+    )
+    if not os.path.exists(path + ".cfg"):
+        t0 = time.time()
+        rows, cfg = generate_scale_corpus(n_hosts=n_hosts, pages_per_host=pages_per_host)
+        write_parquet(rows, path)
+        with open(path + ".cfg", "w") as f:
+            json.dump(cfg, f)
+        print(f"corpus: {len(rows)} pages in {time.time()-t0:.1f}s -> {path}")
+    return path, n_hosts
+
+
+def run_level(corpus: str, n_hosts: int, cores: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cores=cores, corpus=corpus, n_hosts=n_hosts)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            out = json.loads(line[len("SCALING_RESULT "):])
+            out["wall_s"] = round(time.time() - t0, 1)
+            return out
+    sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+    raise RuntimeError(f"no result from cores={cores}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=500_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    args = ap.parse_args()
+
+    corpus, n_hosts = ensure_corpus(args.pages)
+    results = {}
+    for cores in (args.n, args.xn):
+        print(f"=== local[{cores}] ...", flush=True)
+        r = run_level(corpus, n_hosts, cores)
+        results[cores] = r
+        print(
+            f"local[{cores}]: {r['elapsed_s']}s, {r['pages_per_sec']} pages/s, "
+            f"{r['dedup_urls_per_sec']} dedup urls/s, {r['waves']} waves"
+        )
+
+    lo, hi = results[args.n], results[args.xn]
+    ratio = args.xn / args.n
+    eff = round(hi["pages_per_sec"] / (ratio * lo["pages_per_sec"]), 3)
+    summary = {
+        "corpus_pages": lo["fetched_pages"],
+        "n_cores": args.n,
+        "xn_cores": args.xn,
+        "n": {k: lo[k] for k in ("elapsed_s", "pages_per_sec", "dedup_urls_per_sec", "waves")},
+        "xn": {k: hi[k] for k in ("elapsed_s", "pages_per_sec", "dedup_urls_per_sec", "waves")},
+        "scaling_efficiency": eff,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "detail": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "detail"}))
+
+
+if __name__ == "__main__":
+    main()
