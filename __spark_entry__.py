@@ -265,9 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import random
 
         rng = random.Random(7)
-        planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+        bands = [[[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)] for _ in range(6)]
         emb = _t(spark, sf, "embeddings")
-        return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), planes, k=10)
+        return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), bands, k=10)
 
     def winnow(spark, sf):
         return winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)

@@ -119,6 +119,18 @@ def main():
     if crawl:
         qtimes["crawl"] = crawl["crawl_elapsed_s"]
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # two-cluster-size scaling evidence (produced by scripts/bench_scaling.py
+    # on a larger corpus where parallel work dominates the per-wave floor)
+    scaling = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "scaling.json")) as f:
+            s = json.load(f)
+        scaling = {k: s[k] for k in
+                   ("corpus_pages", "n_cores", "xn_cores", "n", "xn",
+                    "scaling_efficiency") if k in s}
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     print(
         json.dumps(
             {
@@ -129,6 +141,7 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 "throughput": crawl,
+                "scaling": scaling,
             }
         )
     )

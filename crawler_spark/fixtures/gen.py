@@ -218,7 +218,7 @@ def generate_corpus(n_hosts: int = 2, pages_per_host: int = 40, seed: int = 42,
 def generate_scale_corpus(
     n_hosts: int = 50,
     pages_per_host: int = 1200,
-    fanout: int = 32,
+    fanout: int = 128,
     mega_host_factor: int = 8,
     seed: int = 42,
 ):
@@ -226,7 +226,13 @@ def generate_scale_corpus(
     sizes dominate job overhead, like a real frontier), one mega-host with
     ``mega_host_factor``× the pages of the others (host-skew retained per
     FIXTURES.md), cross-host links for discovery traffic, robots on every
-    host. Text kept analytic (expected == generated words)."""
+    host. Text kept analytic (expected == generated words).
+
+    ALL host roots are seeds: a production frontier restart begins with a
+    dense seed list (or a resumed multi-million-row frontier), not one URL
+    — the single-seed ramp-up waves of the old shape measured scheduler
+    floor, not engine throughput. Cross-host links stay in as (mostly
+    duplicate) discovery traffic for the seen anti-join."""
     rng = random.Random(seed)
     rows = []
     langs = ["en", "de", "fr"]
@@ -263,7 +269,7 @@ def generate_scale_corpus(
             h, t = _page_html(f"B{i}", words, links)
             add(f"{host}/p/{i}", h, t)
     config = {
-        "seed_urls": [f"{hosts[0]}/"],
+        "seed_urls": [f"{h}/" for h in hosts],
         "sitemap_urls": [],
         "crawl_rules": {},
     }

@@ -93,26 +93,43 @@ def fetch_join(
     dominant fixed cost per wave once the corpus outgrows the frontier.
     Instead:
 
-    * hits  = ``pages ⋈ broadcast(wave)`` INNER — the wave is the build
+    * small wave (``broadcast_wave=True``):
+      hits  = ``pages ⋈ broadcast(wave)`` INNER — the wave is the build
       side, the cached corpus streams in place with no shuffle and no
       re-serialization of the html blobs;
-    * misses = ``wave ⟕̸ broadcast(hit-keys)`` LEFT ANTI — hit-keys are
+      misses = ``wave ⟕̸ broadcast(hit-keys)`` LEFT ANTI — hit-keys are
       wave-sized, so this broadcasts too (hits are cached first so the
       corpus probe runs once).
 
-    At 10^10 pages with a >100M-row wave, set ``broadcast_wave=False`` for
-    the bucketed shuffle join (both tables Iceberg-bucketed on url_hash).
+    * big wave (``broadcast_wave=False``): broadcasting is driver-serial
+      work proportional to wave size — at 10^5+ rows it becomes the
+      per-wave scaling floor. Instead the wave shuffles once into the
+      corpus's own ``HashPartitioning(url_hash, N)`` (prepare_pages
+      repartitions + caches the corpus exactly so; on a real cluster both
+      tables are Iceberg-bucketed on url_hash) and a SHUFFLED_HASH inner
+      join builds the hash table from the *wave* partition while the html
+      blobs stream in place — no corpus shuffle, no corpus sort, no
+      driver-side collect. Misses come from a co-partitioned LEFT ANTI on
+      the same key (zero additional shuffles).
     """
     page_cols = pages.select("url_hash", "html", "warc_ts")
     if not broadcast_wave:
-        return wave.join(page_cols, on="url_hash", how="left")
-    hits = page_cols.join(F.broadcast(wave), on="url_hash", how="inner")
+        # same partition count prepare_pages used → co-partitioned join
+        n_part = int(wave.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        wave_p = wave.repartition(n_part, "url_hash").cache()
+        if cache_tracker is not None:
+            cache_tracker.append(wave_p)
+        hits = page_cols.join(wave_p.hint("shuffle_hash"), on="url_hash", how="inner")
+    else:
+        wave_p = wave
+        hits = page_cols.join(F.broadcast(wave_p), on="url_hash", how="inner")
     hits = hits.cache()
     if cache_tracker is not None:
         cache_tracker.append(hits)
-    misses = wave.join(
-        F.broadcast(hits.select("url_hash")), on="url_hash", how="left_anti"
-    ).select(
+    hit_keys = hits.select("url_hash")
+    if broadcast_wave:
+        hit_keys = F.broadcast(hit_keys)
+    misses = wave_p.join(hit_keys, on="url_hash", how="left_anti").select(
         "*",
         F.lit(None).cast("binary").alias("html"),
         F.lit(None).cast("timestamp").alias("warc_ts"),

@@ -206,9 +206,10 @@ class SparkCrawler:
             ]
             candidates = self._candidates_df(rows)
             denied, dup, admitted, n_adm = self._gate_and_admit(candidates, None, 0, 0, wave)
-            frontier = admitted
-            seen = admitted.select("url_hash", "norm_url", "depth", "source_type", "seq")
-            self.store.append("seen", seen, wave)
+            # the seen table rows ARE frontier rows (full columns): one
+            # write serves both the dedup anti-join and the next wave
+            pend_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
+            frontier = self.spark.read.parquet(pend_path)
             if cfg.lineage_enabled:
                 self.store.append("lineage", self._lineage(denied, wave, False).unionByName(
                     self._lineage(admitted, wave, True)), wave)
@@ -246,9 +247,12 @@ class SparkCrawler:
 
             # fetch (offline join) + parse, one pass
             self._wave_caches = getattr(self, "_wave_caches", [])
+            # broadcast only genuinely small waves: broadcasting is
+            # driver-serial O(wave), so big waves take the co-partitioned
+            # shuffle-hash path (corpus cached in HashPartitioning(url_hash))
             fetched = fetch_join(ready.select(
                 "url_hash", "norm_url", "task_type", "depth", "seq", "redirect_chain"
-            ), self.pages, broadcast_wave=n_ready < 2_000_000,
+            ), self.pages, broadcast_wave=n_ready < 100_000,
                 cache_tracker=self._wave_caches)
             parsed = parse_wave(fetched, cfg).cache()
 
@@ -272,10 +276,10 @@ class SparkCrawler:
                 candidates, seen, seen_count, seq_base, wave
             )
             _mark("gates_admit")
-            self.store.append(
-                "seen", admitted.select("url_hash", "norm_url", "depth", "source_type", "seq"),
-                wave,
-            )
+            # one write serves the seen MERGE *and* (politeness off) the
+            # next frontier: the seen table stores full frontier columns and
+            # the anti-join probe prunes to url_hash at the parquet scan
+            seen_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
             _mark("seen_merge")
             if cfg.lineage_enabled:
                 self.store.append(
@@ -290,12 +294,17 @@ class SparkCrawler:
             seq_base += n_adm
             seen = self.store.read("seen")
 
-            next_frontier = admitted.select(*[c for c in FRONTIER_COLS if c != "seq"], "seq")
             if deferred is not None:
-                next_frontier = next_frontier.unionByName(deferred.select(*next_frontier.columns))
-            pend_path = self.store.append("frontier_pending", next_frontier, wave)
+                next_frontier = (
+                    self.spark.read.parquet(seen_path)
+                    .unionByName(deferred.select(*FRONTIER_COLS))
+                )
+                pend_path = self.store.append("frontier_pending", next_frontier, wave)
+                pending_count = None
+            else:
+                pend_path = seen_path
+                pending_count = n_adm
             frontier = self.spark.read.parquet(pend_path)  # cut lineage each wave
-            pending_count = n_adm if deferred is None else None
             _mark("frontier_merge")
             self.store.checkpoint(
                 wave, seq_base, seen_count,

@@ -34,14 +34,21 @@ def prepare_pages(pages: DataFrame, repartition: int | None = None) -> DataFrame
     """Add norm_url + url_hash; url_hash via JVM-side sha1 (E2 —
     F.sha1(encode(norm,utf8)) ≡ Ruby Digest::SHA1.hexdigest).
 
-    Repartition happens BEFORE the normalize UDF: the corpus often arrives
-    in a few large file-splits, and normalizing on those would cap the
-    Python stage at the split count. Partitioning on the raw url is as
-    uniform as on the hash and keeps the plan deterministic."""
+    A first repartition happens BEFORE the normalize UDF: the corpus often
+    arrives in a few large file-splits, and normalizing on those would cap
+    the Python stage at the split count. A second repartition AFTER the
+    hash is derived puts the cached corpus in ``HashPartitioning(url_hash,
+    N)`` — the exact output distribution every per-wave fetch join
+    requires, so only the (small) wave side shuffles and the html blobs
+    never move again. This is the local stand-in for Iceberg
+    ``bucket(N, url_hash)`` table layout."""
     if repartition:
         pages = pages.repartition(repartition, "url")
-    return (
+    out = (
         pages.withColumn("norm_url", normalize_url_udf(F.col("url")))
         .filter(F.col("norm_url").isNotNull())
         .withColumn("url_hash", F.sha1(F.encode(F.col("norm_url"), "utf-8")))
     )
+    if repartition:
+        out = out.repartition(repartition, "url_hash")
+    return out

@@ -235,19 +235,34 @@ def lsh_topk(
     vectors: DataFrame, queries: DataFrame, planes: list, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: rank only within the query's hyperplane bucket (scale path)."""
+    """ANN: rank only among vectors sharing a hyperplane bucket with the
+    query in ANY band (OR-amplified LSH — the scale path).
+
+    ``planes`` is either one band (list of plane vectors) or a list of
+    bands. A single band of p planes keeps recall ≈ (1 - θ/π)^p, which
+    collapses for weakly-similar corpora; B bands recover
+    1 - (1 - r^p)^B while still pruning the candidate set ~2^p-fold per
+    band. Candidates are deduped across bands before the exact cosine."""
     from pyspark.sql import Window
 
-    vb = hyperplane_bucket(vectors, planes, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    ).withColumnRenamed(vec_col, "v_vec")
-    qb = hyperplane_bucket(queries, planes, id_col, vec_col).withColumnRenamed(
-        id_col, "query_id"
-    ).withColumnRenamed(vec_col, "q_vec")
-    pairs = vb.join(F.broadcast(qb), on="bucket").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = pairs.select(
+    if planes and isinstance(planes[0][0], (int, float)):
+        planes = [planes]
+    cands = None
+    for band in planes:
+        vb = hyperplane_bucket(vectors, band, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("bucket")
+        )
+        qb = hyperplane_bucket(queries, band, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("bucket")
+        )
+        c = vb.join(F.broadcast(qb), on="bucket").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        ).select("query_id", "neighbor_id")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = cands.join(v, "neighbor_id").join(F.broadcast(q), "query_id").select(
         "query_id", "neighbor_id", F.round(_cosine("v_vec", "q_vec"), 4).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

@@ -68,7 +68,7 @@ def ensure_corpus(n_pages: int) -> tuple[str, int]:
     n_hosts = 50
     pages_per_host = max(100, n_pages // 57)  # mega-host = 8x
     path = os.path.join(
-        tempfile.gettempdir(), f"crawler_spark_scaling_corpus_{pages_per_host}.parquet"
+        tempfile.gettempdir(), f"crawler_spark_scaling_corpus_{pages_per_host}_f128.parquet"
     )
     if not os.path.exists(path + ".cfg"):
         t0 = time.time()

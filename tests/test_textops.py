@@ -1,0 +1,178 @@
+"""Training-data operator tests: ANN recall vs the exact baseline,
+near-dup pair semantics, winnowing guarantees, blocked-GEMM correctness."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_lsh_ann_recall(spark, emb):
+    from crawler_spark.textops.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(7)
+    bands = [[[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)] for _ in range(6)]
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(brute_force_topk(emb, q, k=10))
+    approx = _topk_sets(lsh_topk(emb, q, bands, k=10))
+    # OR-amplified: 6 bands x 3 planes; weakly-similar corpus (max cos ~.5)
+    # still needs recall well above the 2% chance floor
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(exact[k]) for k in exact)
+    assert hits / total >= 0.5, f"LSH recall {hits}/{total} below sanity floor"
+
+
+def test_ivf_ann_recall_and_shape(spark, emb):
+    from crawler_spark.textops.similarity import brute_force_topk, ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(brute_force_topk(emb, q, k=10))
+    approx = ivf_topk(emb, q, n_centroids=8, n_probe=4, k=10)
+    rows = approx.collect()
+    # ranks dense per query, starting at 1
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    got = _topk_sets(approx)
+    hits = sum(len(exact[k] & got.get(k, set())) for k in exact)
+    total = sum(len(exact[k]) for k in exact)
+    assert hits / total >= 0.3, f"IVF recall {hits}/{total} below sanity floor"
+
+
+def test_ivf_probe_all_equals_exact(spark, emb):
+    """n_probe == n_centroids probes every inverted list -> exact top-k."""
+    from crawler_spark.textops.similarity import brute_force_topk, ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(brute_force_topk(emb, q, k=5))
+    full = _topk_sets(ivf_topk(emb, q, n_centroids=4, n_probe=4, k=5))
+    assert exact == full
+
+
+def test_cosine_dup_pairs_matches_naive(spark, emb):
+    from crawler_spark.textops.similarity import cosine_dup_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_dup_pairs(emb, threshold=0.45, n_blocks=4).collect()
+    }
+    # naive reference in python
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    ids = sorted(vecs)
+    want = {}
+    for i, a in enumerate(ids):
+        va = vecs[a]
+        na = math.sqrt(sum(x * x for x in va))
+        for b in ids[i + 1:]:
+            vb = vecs[b]
+            nb = math.sqrt(sum(x * x for x in vb))
+            cos = round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 4)
+            if cos >= 0.45:
+                want[(a, b)] = cos
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-4
+
+
+def test_cosine_dup_pairs_lsh_subset(spark, emb):
+    """LSH-candidate variant returns a subset of the exact pairs (it can
+    miss, never invent — every candidate is exactly verified)."""
+    from crawler_spark.textops.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_lsh,
+    )
+
+    rng = random.Random(11)
+    bands = [[[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)] for _ in range(4)]
+    exact = {(r.id_a, r.id_b) for r in cosine_dup_pairs(emb, threshold=0.4).collect()}
+    approx = {(r.id_a, r.id_b) for r in cosine_dup_pairs_lsh(emb, bands, threshold=0.4).collect()}
+    assert approx <= exact
+    assert len(approx) >= 1  # 4 bands x 3 planes should catch some
+
+
+def test_simhash_hamming_pairs(spark):
+    from crawler_spark.textops.dedup import simhash, simhash_hamming_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),    # near dup
+            (4, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_hamming_pairs(df, max_dist=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    # verify every reported distance against exact popcount of the simhashes
+    sh = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    for (a, b), d in pairs.items():
+        assert bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") == d
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint."""
+    from crawler_spark.textops.textstats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"  # len 43 >= 8+4-1
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other start " + shared + " different end"),
+            (3, "no overlap with anything else at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(df, k=8, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert len(fps[3]) > 0
+
+
+def test_ngram_jaccard_bounds(spark, docs):
+    from crawler_spark.textops.dedup import ngram_jaccard_pairs
+
+    rows = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert len(rows) > 0  # the synthetic corpus contains near-dup docs
+    for r in rows:
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+
+
+def test_frame_sample_stub(spark):
+    from crawler_spark.textops.multimodal import frame_sample_stub
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 250)), (2, bytearray(b"y" * 5))],
+        "asset_id long, payload binary",
+    )
+    got = {(r.asset_id, r.frame_idx) for r in frame_sample_stub(df, every_n=10).collect()}
+    # asset 1: 250 bytes -> 3 fake frames -> sampled {0}; asset 2: 1 frame
+    assert (1, 0) in got and (2, 0) in got
+    df2 = spark.createDataFrame([(3, bytearray(b"z" * 10050))], "asset_id long, payload binary")
+    got2 = sorted(r.frame_idx for r in frame_sample_stub(df2, every_n=10).collect())
+    assert got2 == list(range(0, 101, 10))
