@@ -60,8 +60,10 @@ def bench_crawl(spark, n_pages_target: int) -> dict:
     from crawler_spark.plans.crawl import SparkCrawler
 
     pages_per_host = max(100, n_pages_target // 57)  # 50 hosts, mega=8x
+    # filename carries the corpus shape so a generator change invalidates
+    # the cache (f128 = fanout-128 all-roots-seeded shape)
     cache = os.path.join(
-        tempfile.gettempdir(), f"crawler_spark_bench_corpus_{pages_per_host}.parquet"
+        tempfile.gettempdir(), f"crawler_spark_bench_corpus_{pages_per_host}_f128.parquet"
     )
     if not os.path.exists(cache):
         rows, cfg = generate_scale_corpus(n_hosts=50, pages_per_host=pages_per_host)

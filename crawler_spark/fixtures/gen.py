@@ -289,5 +289,8 @@ def write_parquet(rows, path: str):
             "lang": [r["lang"] for r in rows],
         }
     )
-    pq.write_table(table, path)
+    # small row groups: Spark can only split a parquet file at row-group
+    # boundaries, and pyarrow's default (~1M rows) would cap the corpus
+    # scan at 2-3 tasks no matter how many cores the cluster has
+    pq.write_table(table, path, row_group_size=64_000)
     return path

@@ -174,7 +174,14 @@ class SparkCrawler:
     def run(self):
         cfg = self.config
         t0 = time.time()
+        # materialize the corpus cache explicitly so its cost is attributed
+        # (the ingest/bucketing step of the production Iceberg table, not
+        # per-wave crawl work)
+        self.pages.count()
+        prep_s = round(time.time() - t0, 3)
         robots = self.load_robots()
+        robots_s = round(time.time() - t0 - prep_s, 3)
+        self._pre_wave = {"prep_s": prep_s, "robots_s": robots_s}
         self.robots_bc = self.spark.sparkContext.broadcast(robots)
         self.rules_bc = self.spark.sparkContext.broadcast(dict(cfg.crawl_rules))
 
@@ -310,7 +317,8 @@ class SparkCrawler:
                 wave, seq_base, seen_count,
                 extra={"ready": n_ready, "admitted": n_adm,
                        "wave_s": round(time.time() - wave_t0, 3),
-                       "phases": phases},
+                       "phases": phases,
+                       **({"pre_wave": self._pre_wave} if wave == 1 else {})},
             )
             m = self.store.read_manifest()
             m["frontier_pending"] = pend_path

@@ -34,16 +34,17 @@ def prepare_pages(pages: DataFrame, repartition: int | None = None) -> DataFrame
     """Add norm_url + url_hash; url_hash via JVM-side sha1 (E2 —
     F.sha1(encode(norm,utf8)) ≡ Ruby Digest::SHA1.hexdigest).
 
-    A first repartition happens BEFORE the normalize UDF: the corpus often
-    arrives in a few large file-splits, and normalizing on those would cap
-    the Python stage at the split count. A second repartition AFTER the
-    hash is derived puts the cached corpus in ``HashPartitioning(url_hash,
-    N)`` — the exact output distribution every per-wave fetch join
-    requires, so only the (small) wave side shuffles and the html blobs
-    never move again. This is the local stand-in for Iceberg
-    ``bucket(N, url_hash)`` table layout."""
-    if repartition:
-        pages = pages.repartition(repartition, "url")
+    The single repartition AFTER the hash is derived puts the cached corpus
+    in ``HashPartitioning(url_hash, N)`` — the exact output distribution
+    every per-wave fetch join requires, so only the (small) wave side
+    shuffles and the html blobs never move again. This is the local
+    stand-in for Iceberg ``bucket(N, url_hash)`` table layout.
+
+    No pre-UDF repartition: that would shuffle the html blobs twice. The
+    normalize stage's parallelism comes from the parquet scan itself —
+    fixture files are written with small row groups (Spark can only split
+    a parquet file at row-group boundaries), and a production corpus
+    arrives as many files."""
     out = (
         pages.withColumn("norm_url", normalize_url_udf(F.col("url")))
         .filter(F.col("norm_url").isNotNull())
