@@ -19,6 +19,10 @@ class CrawlConfig:
     domain_allowlist: tuple = ()  # derived from seeds when empty
     crawl_rules: dict = field(default_factory=dict)  # site -> [(policy,type,pattern)]
     exclude_tags: dict = field(default_factory=dict)  # site -> [tag,...]
+    # site -> [ruleset-spec dicts] (config.rb:475-489 extraction_rulesets);
+    # kept as plain dicts for broadcast picklability, compiled in the
+    # parse operator via functions.extraction.compile_rulesets
+    extraction_rules: dict = field(default_factory=dict)
 
     # api/config.rb defaults
     max_crawl_depth: int = 10
@@ -37,6 +41,11 @@ class CrawlConfig:
     max_indexed_links_count: int = 25
     max_headings_count: int = 25
     sitemap_discovery_disabled: bool = False
+    # binary downloads (config.rb binary_content_extraction_*): when
+    # enabled, pages marked <!--MIME:type--> with an allowed type become
+    # base64 _attachment docs; others are unsupported content (no doc)
+    binary_content_extraction_enabled: bool = False
+    binary_content_extraction_mime_types: tuple = ()
     default_crawl_delay_s: float = 0.0  # used when robots has none
     politeness_window_s: float = 0.0  # 0 = unlimited per-wave host quota
     user_agent: str = "Elastic-Crawler"

@@ -117,6 +117,8 @@ def generate_corpus(n_hosts: int = 2, pages_per_host: int = 40, seed: int = 42,
             ("/dup#frag1", "dupa"),
             ("/dup#frag2", "dupb"),
             ("/exclude", "excllink"),
+            ("/file.pdf", "pdflink"),
+            ("/file.bin", "binlink"),
             ("/deep/" + "/".join(f"d{j}" for j in range(17)), "toodeep"),
             ("/q?" + "&".join(f"p{j}={j}" for j in range(33)), "toomanyparams"),
             ("/long-" + "x" * 2100, "toolong"),
@@ -182,6 +184,12 @@ def generate_corpus(n_hosts: int = 2, pages_per_host: int = 40, seed: int = 42,
         h, t = _page_html("Dup", [f"dupbody{hi}"], [])
         add(f"{host}/dup", h, t)
 
+        # binary downloads (E22): pdf MIME is in the extraction allowlist
+        # (→ base64 _attachment doc), octet-stream is not (→ unsupported
+        # content, crawled but no doc)
+        add(f"{host}/file.pdf", b"<!--MIME:application/pdf-->%PDF-1.4 fake-pdf-" + str(hi).encode())
+        add(f"{host}/file.bin", b"<!--MIME:application/octet-stream-->\x00\x01\x02" + bytes([hi]))
+
         # exclude-directive page (CRAWLER_DIRECTIVES golden shape)
         excl = (
             "test1 <div data-elastic-exclude>test2 "
@@ -211,6 +219,21 @@ def generate_corpus(n_hosts: int = 2, pages_per_host: int = 40, seed: int = 42,
         "seed_urls": [f"{h}/" for h in hosts],
         "sitemap_urls": [f"{hosts[0]}/sitemap-index.xml.gz"],
         "crawl_rules": crawl_rules,
+        "binary_content_extraction_mime_types": ["application/pdf"],
+        # E19 coverage: host0 redirect-family pages get a set+extract ruleset
+        "extraction_rules": {
+            hosts[0]: [
+                {
+                    "url_filters": [{"type": "begins", "pattern": "/redirected-target"}],
+                    "rules": [
+                        {"action": "set", "field_name": "origin", "value": "redirect_family",
+                         "source": "html", "selector": "p"},
+                        {"action": "extract", "field_name": "para_text", "source": "html",
+                         "selector": "p", "join_as": "string"},
+                    ],
+                }
+            ]
+        },
     }
     return rows, config
 

@@ -119,6 +119,7 @@ def extract_page(
     max_elastic_tag_size: int = 512,
     max_data_attribute_size: int = 512,
     exclude_tags=None,
+    extraction_rulesets=None,
 ) -> dict:
     """Parse once, return every extracted field.
 
@@ -225,6 +226,18 @@ def extract_page(
                 if valid_field_name(nm):
                     extra_fields[nm] = limit_bytesize(element_text(el), max_data_attribute_size)
 
+    # extraction rules merge LAST, over meta tags / data attributes
+    # (document_mapper.rb:36-41 merges extraction_rule_fields after
+    # html_fields). Array values (join_as=array) are JSON-encoded because
+    # the docs column is map<string,string>.
+    if extraction_rulesets:
+        import json as _json
+
+        from .extraction import extract_fields
+
+        for k, v in extract_fields(extraction_rulesets, page_url, doc).items():
+            extra_fields[k] = v if isinstance(v, str) else _json.dumps(v)
+
     return {
         "base_url": page_base,
         "links": links,
@@ -276,11 +289,18 @@ def classify_content(url: str, html_text: str) -> tuple[str, str | None]:
     marks a 3xx with that Location; ``/robots.txt`` paths are robots bodies;
     ``*.xml``/leading ``<?xml`` are sitemaps; everything else is HTML.
 
-    Returns (kind, location) with kind ∈ html|sitemap|robots_txt|redirect.
+    Returns (kind, extra) with kind ∈ html|sitemap|robots_txt|redirect|file;
+    ``extra`` is the Location for redirects, the MIME type for files
+    (``<!--MIME:application/pdf-->`` prefix marks a binary download — the
+    ContentExtractableFile path, content_extractable_file.rb:20-45), else
+    None.
     """
     if html_text.startswith(REDIRECT_MARK):
         end = html_text.find("-->")
         return "redirect", html_text[len(REDIRECT_MARK) : end].strip()
+    if html_text.startswith("<!--MIME:"):
+        end = html_text.find("-->")
+        return "file", html_text[9:end].strip()
     _s, _u, _h, _p, path, _q, _f = split_url(url)
     if path.endswith("/robots.txt"):
         return "robots_txt", None

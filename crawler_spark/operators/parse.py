@@ -74,6 +74,11 @@ PARSED_SCHEMA = StructType(
         StructField("links", ArrayType(LINK_TYPE)),
         StructField("sitemap_links", ArrayType(StringType())),
         StructField("sitemap_content_links", ArrayType(StringType())),
+        # binary download fields (E22, content_extractable_file.rb:20-45)
+        StructField("file_name", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("attachment", StringType()),
     ]
 )
 
@@ -138,6 +143,9 @@ def fetch_join(
 
 
 def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Iterator[pd.DataFrame]:
+    from ..functions.extraction import compile_rulesets
+
+    rulesets = compile_rulesets(cfg.extraction_rules)  # once per partition
     for pdf in batches:
         out = []
         for row in pdf.itertuples(index=False):
@@ -167,6 +175,10 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 "links": None,
                 "sitemap_links": None,
                 "sitemap_content_links": None,
+                "file_name": None,
+                "content_type": None,
+                "content_length": None,
+                "attachment": None,
             }
             html = row.html
             if html is None:
@@ -195,6 +207,28 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
             if kind == "robots_txt":
                 out.append(rec)
                 continue
+            if kind == "file":
+                # binary download (E22): base64 + metadata when the MIME
+                # type is configured for extraction, else unsupported
+                # content type (http_executor.rb:86-98 dispatch; output
+                # gate denies unsupported — rule_engine/base.rb:65-82)
+                mime = location
+                payload = body[body.find(b"-->") + 3:]
+                if cfg.binary_content_extraction_enabled and mime in (
+                    cfg.binary_content_extraction_mime_types or ()
+                ):
+                    import base64 as _b64
+
+                    rec.update(
+                        file_name=U.url_path(norm_url).rsplit("/", 1)[-1],
+                        content_type=mime,
+                        content_length=len(payload),
+                        attachment=_b64.b64encode(payload).decode("ascii"),
+                    )
+                else:
+                    rec["kind"] = "unsupported"
+                out.append(rec)
+                continue
             page = extract_page(
                 norm_url,
                 body.decode("utf-8", "replace"),
@@ -208,6 +242,7 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 max_elastic_tag_size=cfg.max_elastic_tag_size,
                 max_data_attribute_size=cfg.max_data_attribute_size,
                 exclude_tags=cfg.exclude_tags.get(U.url_site(norm_url)),
+                extraction_rulesets=rulesets.get(U.url_site(norm_url)),
             )
             rec.update(
                 {
@@ -239,12 +274,15 @@ def parse_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 def docs_from_parsed(parsed: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Document mapping + output gate (document_mapper.rb:35-102,
-    rule_engine/base.rb:65-82): HTML 2xx, not noindex, redirect chain within
-    budget. URL components derived JVM-side from the normalized URL."""
+    rule_engine/base.rb:65-82): HTML 2xx (not noindex) or extractable
+    binary file, redirect chain within budget. URL components derived
+    JVM-side from the normalized URL."""
     d = parsed.filter(
-        (F.col("kind") == "html")
+        (
+            ((F.col("kind") == "html") & (~F.col("meta_noindex")))
+            | ((F.col("kind") == "file") & F.col("attachment").isNotNull())
+        )
         & (F.col("status") >= 200) & (F.col("status") < 300)
-        & (~F.col("meta_noindex"))
         & (F.size(F.coalesce(F.col("redirect_chain"), F.array())) <= cfg.max_redirects)
     )
     path = F.regexp_replace(
@@ -280,6 +318,11 @@ def docs_from_parsed(parsed: DataFrame, cfg: CrawlConfig) -> DataFrame:
         F.col("extra_fields"),
         F.col("depth"),
         F.col("seq"),
+        # binary-file docs (document_mapper.rb:80-87); null on html docs
+        F.col("file_name"),
+        F.col("content_type"),
+        F.col("content_length"),
+        F.col("attachment").alias("_attachment"),
     )
 
 

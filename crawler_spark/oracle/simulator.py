@@ -65,6 +65,14 @@ class CrawlSimulator:
         }
         self.allowed_sites = set(config.allowed_sites())
         self._admission_seq = 0
+        self._rulesets_cache = None
+
+    def _rulesets(self):
+        if self._rulesets_cache is None:
+            from ..functions.extraction import compile_rulesets
+
+            self._rulesets_cache = compile_rulesets(self.config.extraction_rules)
+        return self._rulesets_cache
 
     # --- offline fetch ----------------------------------------------------
 
@@ -79,7 +87,8 @@ class CrawlSimulator:
         kind, location = classify_content(norm_url, body[:512].decode("utf-8", "replace"))
         if kind == "redirect":
             return "redirect", 301, body, location
-        return kind, 200, body, None
+        # `location` carries the MIME type for kind == "file"
+        return kind, 200, body, location
 
     # --- robots (coordinator.rb:157-194) -----------------------------------
 
@@ -217,6 +226,32 @@ class CrawlSimulator:
             return
         if kind == "robots_txt":
             return
+        if kind == "file":
+            # E22 binary download: doc only when the MIME type is allowed
+            import base64 as _b64
+
+            mime = location
+            if not (
+                self.config.binary_content_extraction_enabled
+                and mime in (self.config.binary_content_extraction_mime_types or ())
+            ):
+                return
+            if len(task.redirect_chain) > self.config.max_redirects:
+                return
+            payload = content[content.find(b"-->") + 3:]
+            doc = {
+                "id": U.url_sha1(task.url),
+                "title": None, "body": None,
+                "meta_keywords": None, "meta_description": None,
+                "links": [], "headings": [],
+                "file_name": U.url_path(task.url).rsplit("/", 1)[-1],
+                "content_type": mime,
+                "content_length": len(payload),
+                "_attachment": _b64.b64encode(payload).decode("ascii"),
+            }
+            doc.update(url_components(task.url))
+            self.docs.append(doc)
+            return
         # HTML
         html_text = content.decode("utf-8", "replace")
         page = extract_page(
@@ -229,6 +264,7 @@ class CrawlSimulator:
             max_keywords_size=self.config.max_keywords_size,
             max_description_size=self.config.max_description_size,
             exclude_tags=self.config.exclude_tags.get(U.url_site(task.url)),
+            extraction_rulesets=self._rulesets().get(U.url_site(task.url)),
         )
         # canonical first (coordinator.rb:433-452), same depth
         if page["canonical_url"] is not None:

@@ -32,6 +32,11 @@ def crawl_config(corpus):
         seed_urls=tuple(cfg["seed_urls"]),
         sitemap_urls=tuple(cfg["sitemap_urls"]),
         crawl_rules=cfg["crawl_rules"],
+        binary_content_extraction_enabled=True,
+        binary_content_extraction_mime_types=tuple(
+            cfg.get("binary_content_extraction_mime_types", ())
+        ),
+        extraction_rules=cfg.get("extraction_rules", {}),
     )
 
 

@@ -129,3 +129,47 @@ def test_resume_from_checkpoint(spark, corpus, crawl_config, pages_path, tmp_pat
     resumed_seen = {r["norm_url"] for r in resumed.seen.collect()}
     assert resumed_seen == set(sim.seen)
     assert partial_count < len(resumed_seen)
+
+
+def test_binary_file_docs_and_unsupported(sim_result, spark_result):
+    """E22: allowed-MIME downloads become base64 _attachment docs in BOTH
+    engines; disallowed MIME types are crawled (seen) but produce no doc."""
+    import base64
+
+    spark_docs = {r["url"]: r.asDict() for r in spark_result.docs.collect()}
+    pdfs = {u: d for u, d in spark_docs.items() if u.endswith("/file.pdf")}
+    assert len(pdfs) >= 2  # one per host
+    for url, d in pdfs.items():
+        assert d["content_type"] == "application/pdf"
+        assert d["file_name"] == "file.pdf"
+        payload = base64.b64decode(d["_attachment"])
+        assert payload.startswith(b"%PDF-1.4")
+        assert d["content_length"] == len(payload)
+        assert d["title"] is None and d["body"] is None
+    # sim parity for the binary docs
+    sim_pdf = {d["url"]: d for d in sim_result.docs if d["url"].endswith("/file.pdf")}
+    assert set(sim_pdf) == set(pdfs)
+    for url in pdfs:
+        assert sim_pdf[url]["_attachment"] == pdfs[url]["_attachment"]
+    # octet-stream: seen but never a doc
+    spark_seen_urls = {r["norm_url"] for r in spark_result.seen.collect()}
+    bins = {u for u in spark_seen_urls if u.endswith("/file.bin")}
+    assert len(bins) >= 2
+    assert not any(u.endswith("/file.bin") for u in spark_docs)
+
+
+def test_extraction_rules_fields(sim_result, spark_result):
+    """E19: the host0 redirect-family ruleset sets a constant and extracts
+    paragraph text; fields land in extra_fields identically in both
+    engines."""
+    spark_docs = {r["url"]: r.asDict() for r in spark_result.docs.collect()}
+    target = [u for u in spark_docs if u.endswith("site0.test/redirected-target")]
+    assert target, "redirected-target doc missing"
+    ef = spark_docs[target[0]]["extra_fields"] or {}
+    assert ef.get("origin") == "redirect_family"
+    assert ef.get("para_text") == "redirtarget0"
+    # other hosts' same-path docs have no extraction fields
+    other = [u for u in spark_docs if u.endswith("site1.test/redirected-target")]
+    if other:
+        ef1 = spark_docs[other[0]]["extra_fields"] or {}
+        assert "origin" not in ef1
