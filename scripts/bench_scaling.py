@@ -100,18 +100,31 @@ def main():
     ap.add_argument("--pages", type=int, default=500_000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument(
+        "--reps", type=int, default=1,
+        help="alternate the two levels this many times and take the per-"
+             "level MIN elapsed. The sandbox hypervisor's deliverable CPU "
+             "drifts ~1.7x over tens of minutes (measured with a spin "
+             "probe), so a single leg-vs-leg comparison measures host "
+             "weather, not the engine; the min across interleaved reps "
+             "estimates both levels on the uncontended machine — the "
+             "regime a dedicated N / 4N-executor cluster actually has.")
     args = ap.parse_args()
 
     corpus, n_hosts = ensure_corpus(args.pages)
     results = {}
-    for cores in (args.n, args.xn):
-        print(f"=== local[{cores}] ...", flush=True)
-        r = run_level(corpus, n_hosts, cores)
-        results[cores] = r
-        print(
-            f"local[{cores}]: {r['elapsed_s']}s, {r['pages_per_sec']} pages/s, "
-            f"{r['dedup_urls_per_sec']} dedup urls/s, {r['waves']} waves"
-        )
+    reps: dict[int, list] = {args.n: [], args.xn: []}
+    for rep in range(args.reps):
+        for cores in (args.n, args.xn):
+            print(f"=== rep {rep + 1}/{args.reps} local[{cores}] ...", flush=True)
+            r = run_level(corpus, n_hosts, cores)
+            reps[cores].append(r)
+            print(
+                f"local[{cores}]: {r['elapsed_s']}s, {r['pages_per_sec']} pages/s, "
+                f"{r['dedup_urls_per_sec']} dedup urls/s, {r['waves']} waves"
+            )
+    for cores, rlist in reps.items():
+        results[cores] = min(rlist, key=lambda r: r["elapsed_s"])
 
     lo, hi = results[args.n], results[args.xn]
     ratio = args.xn / args.n
@@ -120,6 +133,10 @@ def main():
         "corpus_pages": lo["fetched_pages"],
         "n_cores": args.n,
         "xn_cores": args.xn,
+        "reps": args.reps,
+        "rep_elapsed_s": {
+            str(c): [r["elapsed_s"] for r in rlist] for c, rlist in reps.items()
+        },
         "n": {k: lo[k] for k in ("elapsed_s", "pages_per_sec", "dedup_urls_per_sec", "waves")},
         "xn": {k: hi[k] for k in ("elapsed_s", "pages_per_sec", "dedup_urls_per_sec", "waves")},
         "scaling_efficiency": eff,
