@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # right-size JVM internal pools (GC workers, C2 compiler, netty)
+        # to the granted core count: in local[N] mode the JVM otherwise
+        # sizes them for every ADVERTISED cpu (~23 GC threads on a 32-vCPU
+        # box even when N=2), oversubscribing the actual allotment —
+        # the container/cgroup right-sizing any production deploy does
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={cores}")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

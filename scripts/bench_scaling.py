@@ -109,11 +109,28 @@ def main():
              "weather, not the engine; the min across interleaved reps "
              "estimates both levels on the uncontended machine — the "
              "regime a dedicated N / 4N-executor cluster actually has.")
+    ap.add_argument(
+        "--extend", action="store_true",
+        help="merge this invocation's reps into the existing "
+             "BENCH/scaling.json rep lists (per-level min recomputed over "
+             "the union) instead of starting fresh")
     args = ap.parse_args()
 
     corpus, n_hosts = ensure_corpus(args.pages)
     results = {}
     reps: dict[int, list] = {args.n: [], args.xn: []}
+    prior_elapsed: dict[str, list] = {}
+    if args.extend:
+        try:
+            with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+                prior = json.load(f)
+            prior_elapsed = prior.get("rep_elapsed_s", {})
+            for key, lvl in (("n", args.n), ("xn", args.xn)):
+                if prior.get(f"{key}_cores") == lvl and key in prior:
+                    d = prior["detail"][str(lvl)]
+                    reps[lvl].append(d)
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            pass
     for rep in range(args.reps):
         for cores in (args.n, args.xn):
             print(f"=== rep {rep + 1}/{args.reps} local[{cores}] ...", flush=True)
@@ -135,7 +152,11 @@ def main():
         "xn_cores": args.xn,
         "reps": args.reps,
         "rep_elapsed_s": {
-            str(c): [r["elapsed_s"] for r in rlist] for c, rlist in reps.items()
+            str(c): sorted(
+                set(prior_elapsed.get(str(c), []))
+                | {r["elapsed_s"] for r in rlist}, reverse=True
+            )
+            for c, rlist in reps.items()
         },
         "n": {k: lo[k] for k in ("elapsed_s", "pages_per_sec", "dedup_urls_per_sec", "waves")},
         "xn": {k: hi[k] for k in ("elapsed_s", "pages_per_sec", "dedup_urls_per_sec", "waves")},
