@@ -17,6 +17,7 @@ host, and politeness/robots state is naturally host-bounded).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -62,12 +63,185 @@ _GATE_OUT = StructType(
 )
 
 
+# A raw URL is "canonical" when normalize(url) == url, provable by shape:
+# lowercase ascii scheme+host (no port/userinfo — IDNA and default-port
+# logic can't change them), path of literal PATH_SAFE chars (no '%', so no
+# percent-(de)normalization), no dot-segments, optional query of literal
+# QUERY_SAFE chars, no fragment/whitespace (ASCII ⇒ NFC-stable). The vast
+# majority of discovered links are canonical already, so the per-row
+# normalizer only runs on the residue.
+_CANONICAL_RE = re.compile(
+    r"^https?://"
+    r"[a-z0-9]([a-z0-9-]*[a-z0-9])?(\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)*"
+    r"/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*"
+    r"(\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*)?$"
+)
+# components of an already-normalized URL (no userinfo — '@' routed to the
+# per-row fallback)
+_NORM_PARTS_RE = re.compile(
+    r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#:@]+)(?::(?P<port>\d+))?"
+    r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?$"
+)
+
+
+def _canonical_mask(raw: pd.Series) -> pd.Series:
+    """Vectorized proof that normalize(u) == u (see _CANONICAL_RE)."""
+    m = raw.str.match(_CANONICAL_RE, na=False)
+    # dot-segments change under remove_dot_segments: a '.' or '..' segment
+    # terminated by '/', '?' (query start) or end-of-string
+    m &= ~raw.str.contains(r"/\.\.?(?:[/?]|$)", regex=True, na=False)
+    return m
+
+
+def _robots_verdicts(rb: RobotRules, paths: pd.Series) -> pd.Series:
+    """Vectorized crawler-commons longest-match for one host's rows.
+
+    Literal rule sets (no '*'/'$') vectorize as ordered startswith masks —
+    longest pattern first, allow-beats-deny on ties (RFC 9309); wildcard
+    rule sets fall back to the per-row matcher."""
+    if rb.mode == "allow_all" or (rb.mode == "rules" and not rb.rules):
+        return pd.Series(True, index=paths.index)
+    if rb.mode == "allow_none":
+        return pd.Series(False, index=paths.index)
+    if any(("*" in p) or ("$" in p) for _a, p in rb.rules):
+        return paths.map(rb.allowed)
+    allowed = pd.Series(True, index=paths.index)
+    decided = pd.Series(False, index=paths.index)
+    for allow, pattern in sorted(rb.rules, key=lambda r: (-len(r[1]), not r[0])):
+        hit = paths.str.startswith(pattern) & ~decided
+        allowed[hit] = allow
+        decided |= hit
+    return allowed
+
+
 def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozenset):
     """Build the stateless-gate verdict UDF.
 
     robots_bc: Broadcast[dict[host_key, RobotRules.to_tuple()]]
     rules_bc:  Broadcast[dict[site, list[(policy,type,pattern)]]]
+
+    Vectorized end-to-end: canonical URLs skip the per-row normalizer
+    (`_canonical_mask` proves identity), verdict gates F2-F5 are pandas
+    column ops with `np.select` preserving the reference's deny-reason
+    precedence (coordinator.rb:648-699), robots matching is grouped per
+    host and vectorized for literal rule sets. Per-row Python survives
+    only for non-canonical URLs, hosts with wildcard robots rules, and
+    sites with crawl rules.
     """
+
+    def _gate_batch(pdf: pd.DataFrame, robots, engines) -> pd.DataFrame:
+        import numpy as np
+
+        raw = pdf["norm_url"]
+        needs = pdf["needs_norm"] if "needs_norm" in pdf else pd.Series(False, index=pdf.index)
+        needs = needs.fillna(False)
+
+        # --- normalize: vectorized identity proof, per-row residue -------
+        canonical = _canonical_mask(raw.fillna(""))
+        norm = raw.where(~needs | canonical)
+        residue = needs & ~canonical
+        if residue.any():
+            norm.loc[residue] = raw[residue].map(
+                lambda u: U.try_normalize(u)[0] if u is not None else None
+            )
+
+        # --- components (normalized rows; '@' authority → fallback) ------
+        parts = norm.str.extract(_NORM_PARTS_RE)
+        vec_ok = norm.notna() & parts["scheme"].notna()
+        path = parts["path"].fillna("/")
+        query = parts["query"]
+        # url_host_key: DEFAULT_PORTS.get(scheme, 0) when no explicit port
+        default_port = parts["scheme"].map({"http": "80", "https": "443"}).fillna("0")
+        port = parts["port"]
+        site = (
+            parts["scheme"] + "://" + parts["host"]
+            + np.where(port.notna(), ":" + port.fillna(""), "")
+        )
+        host_key = (
+            parts["scheme"] + "://" + parts["host"] + ":" + port.fillna(default_port)
+        )
+        host_key = host_key.where(vec_ok)
+
+        request_uri_len = path.str.len() + np.where(query.notna(), query.str.len() + 1, 0)
+        seg_count = path.str.count("/")
+        par_count = pd.Series(0, index=pdf.index, dtype="int64")
+        hasq = query.notna()
+        if hasq.any():
+            par_count[hasq] = query[hasq].map(
+                lambda q: sum(1 for p in q.split("&") if p)
+            )
+
+        # --- robots / crawl rules (only for rows that reach those gates) --
+        is_sitemap = pdf["task_type"] == "sitemap"
+        site_allowed = site.isin(allowed_sites)
+        robots_denied = pd.Series(False, index=pdf.index)
+        delays = pd.Series(0, index=pdf.index, dtype="int64")
+        for hk, idx in host_key[vec_ok].groupby(host_key[vec_ok]).groups.items():
+            rb = robots.get(hk)
+            if rb is None:
+                continue
+            if rb.crawl_delay_ms and rb.crawl_delay_ms > 0:
+                delays[idx] = int(rb.crawl_delay_ms)
+            sub = idx[(site_allowed[idx]) & (~is_sitemap[idx])]
+            if len(sub) == 0:
+                continue
+            robots_denied[sub] = ~_robots_verdicts(rb, path[sub])
+        rules_denied = pd.Series(False, index=pdf.index)
+        if engines:
+            for st, idx in site[vec_ok].groupby(site[vec_ok]).groups.items():
+                eng = engines.get(st)
+                if eng is None or not eng.rules:
+                    continue
+                sub = idx[site_allowed[idx] & ~is_sitemap[idx] & ~robots_denied[idx]]
+                if len(sub) == 0:
+                    continue
+                rules_denied[sub] = norm[sub].map(eng.outcome) == "deny"
+
+        # --- verdict with reference precedence (coordinator.rb:648-699) --
+        scheme_ok = parts["scheme"].isin(U.SUPPORTED_SCHEMES)
+        reasons = np.select(
+            [
+                ~scheme_ok,
+                request_uri_len > cfg.max_url_length,
+                seg_count > cfg.max_url_segments,
+                par_count > cfg.max_url_params,
+                ~is_sitemap & ~site_allowed,
+                ~is_sitemap & robots_denied,
+                ~is_sitemap & rules_denied,
+            ],
+            [
+                "incorrect_protocol",
+                "link_too_long",
+                "link_with_too_many_segments",
+                "link_with_too_many_params",
+                "domain_filter_denied",
+                "robots_txt_disallowed",
+                "rule_engine_denied",
+            ],
+            default=None,
+        )
+        reasons = pd.Series(reasons, index=pdf.index, dtype=object).where(vec_ok)
+
+        # --- '@'-authority / odd-scheme fallback rows ---------------------
+        fb = norm.notna() & ~vec_ok
+        if fb.any():
+            for i in pdf.index[fb]:
+                url = norm.at[i]
+                hk = U.url_host_key(url)
+                host_key.at[i] = hk
+                rb = robots.get(hk)
+                if rb is not None and rb.crawl_delay_ms and rb.crawl_delay_ms > 0:
+                    delays.at[i] = int(rb.crawl_delay_ms)
+                reasons.at[i] = _verdict(
+                    url, pdf["task_type"].at[i], cfg, allowed_sites, rb, engines
+                )
+
+        out = pdf.copy()
+        out["norm_url"] = norm
+        out["deny_reason"] = reasons
+        out["host_key"] = host_key.where(norm.notna())
+        out["crawl_delay_ms"] = delays
+        return out
 
     def gate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         robots = {k: RobotRules.from_tuple(v) for k, v in (robots_bc.value or {}).items()}
@@ -76,32 +250,7 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
             for site, specs in (rules_bc.value or {}).items()
         }
         for pdf in it:
-            needs = pdf["needs_norm"] if "needs_norm" in pdf else None
-            norms, reasons, host_keys, delays = [], [], [], []
-            for i, (url, task_type) in enumerate(zip(pdf["norm_url"], pdf["task_type"])):
-                if needs is not None and needs.iat[i] and url is not None:
-                    url = U.try_normalize(url)[0]
-                norms.append(url)
-                if url is None:
-                    # unparseable link — dropped by the caller (link.rb:70-83
-                    # invalid links are never enqueued)
-                    host_keys.append(None)
-                    delays.append(0)
-                    reasons.append(None)
-                    continue
-                host_key = U.url_host_key(url)
-                host_keys.append(host_key)
-                rb = robots.get(host_key)
-                delays.append(
-                    int(rb.crawl_delay_ms) if rb is not None and rb.crawl_delay_ms and rb.crawl_delay_ms > 0 else 0
-                )
-                reasons.append(_verdict(url, task_type, cfg, allowed_sites, rb, engines))
-            out = pdf.copy()
-            out["norm_url"] = norms
-            out["deny_reason"] = reasons
-            out["host_key"] = host_keys
-            out["crawl_delay_ms"] = delays
-            yield out
+            yield _gate_batch(pdf, robots, engines)
 
     return gate
 
