@@ -19,6 +19,8 @@ from urllib.parse import urljoin
 
 from ..htmlkit import dom
 from .textextract import (
+    EXCLUDE_ATTR,
+    INCLUDE_ATTR,
     NON_CONTENT_TAGS,
     limit_bytesize,
     node_descendant_text,
@@ -26,6 +28,8 @@ from .textextract import (
     squish,
     transform,
 )
+
+_HEADING_NAMES = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 from .urlnorm import split_url, try_normalize
 
 # lib/constants.rb:11-37
@@ -92,6 +96,43 @@ def resolve_href(base_url: str, href: str):
         return None
 
 
+_FAST_BASE_RE = re.compile(r"^(https?)://[^/?#]*")
+
+
+def make_resolver(base_url: str):
+    """Per-page href resolver with a fast path for the two shapes that
+    dominate crawl corpora (site-absolute ``/path`` and full ``http(s)://``
+    URLs), falling back to :func:`resolve_href`/``urljoin`` for anything
+    where RFC 3986 resolution could differ (dot segments, relative paths,
+    protocol-relative, exotic schemes, uppercase scheme)."""
+    m = _FAST_BASE_RE.match(base_url)
+    if m is None:
+        return lambda href: resolve_href(base_url, href)
+    site = m.group(0)
+    scheme = m.group(1)
+
+    def resolve(href):
+        if href is None:
+            return None
+        href = href.strip()
+        if not href:
+            return None
+        if "/." not in href:  # urljoin applies remove_dot_segments
+            c0 = href[0]
+            if c0 == "/":
+                if href.startswith("//"):
+                    return scheme + ":" + href
+                return site + href
+            if href.startswith("http://") or href.startswith("https://"):
+                return href
+        try:
+            return urljoin(base_url, href)
+        except ValueError:
+            return None
+
+    return resolve
+
+
 def compute_base_url(doc, page_url: str) -> str:
     """html.rb:53-71: first <base href>, possibly relative (completed with
     the page's site), else the page URL."""
@@ -129,34 +170,109 @@ def extract_page(
     carried as ``resolved_url=None``), ``canonical_url, meta_nofollow,
     meta_noindex, title, body, meta_keywords, meta_description, headings,
     indexed_links, extra_fields``.
+
+    Single collection walk over the tree (links, canonical, metas, title,
+    base, headings, data attributes, directive detection) + the body-text
+    walk — the parse-once/derive-all design of html.rb:25-27 taken one step
+    further for the mapInPandas hot path.
     """
     doc = dom.parse(html)
-    page_base = compute_base_url(doc, page_url)
 
-    # --- links (html.rb:74-94): a[href] doc order, Set-dedup, cap ---------
-    links = []
-    seen_link_keys = set()
+    # --- one pre-order walk collecting every per-element signal -----------
+    raw_links: list[tuple] = []  # (href, rel_tuple, nofollow)
+    seen_link_keys: set = set()
     limit_reached = False
-    for a in doc.iter_elements("a"):
-        if "href" not in a.attrs:
+    links_open = True
+    base_href = None
+    canonical_href = None
+    robots_contents: list[str] = []
+    meta_keywords = None
+    kw_seen = False
+    meta_description = None
+    desc_seen = False
+    elastic_metas: list[tuple] = []  # (name, content) doc order
+    data_attrs: list[tuple] = []  # (name, element) doc order, body only
+    title_tag = None
+    headings: list[str] = []
+    hseen: set = set()
+    headings_open = True
+    body_el = None
+    has_directives = False
+
+    _Element = dom.Element
+    stack = [(c, False) for c in reversed(doc.children)]
+    while stack:
+        n, in_body = stack.pop()
+        if n.__class__ is not _Element:
             continue
-        href = a.attrs["href"]
-        rel = squish(a.attr("rel")).lower().split()
-        key = (href, tuple(rel), element_text(a))  # Link Set identity proxy
-        if key in seen_link_keys:
-            continue
-        seen_link_keys.add(key)
-        links.append(
-            {
-                "href": href,
-                "url": resolve_href(page_base, href),
-                "nofollow": "nofollow" in rel,
-                "pos": len(links),
-            }
-        )
-        if max_extracted_links and len(links) >= max_extracted_links:
-            limit_reached = True
-            break
+        name = n._name
+        attrs = n.attrs
+        if attrs:
+            if EXCLUDE_ATTR in attrs or INCLUDE_ATTR in attrs:
+                has_directives = True
+            if in_body and "data-elastic-name" in attrs:
+                data_attrs.append((attrs["data-elastic-name"], n))
+        if name == "a":
+            if links_open and "href" in attrs:
+                href = attrs["href"]
+                rel = tuple(squish(attrs.get("rel", "")).lower().split())
+                key = (href, rel, element_text(n))  # Link Set identity proxy
+                if key not in seen_link_keys:
+                    seen_link_keys.add(key)
+                    raw_links.append((href, "nofollow" in rel))
+                    if max_extracted_links and len(raw_links) >= max_extracted_links:
+                        limit_reached = True
+                        links_open = False
+        elif name == "meta":
+            nm = attrs.get("name", "").lower()
+            if nm == "robots":
+                robots_contents.append(attrs.get("content", "").lower())
+            elif nm == "keywords":
+                if not kw_seen and "content" in attrs:
+                    meta_keywords, kw_seen = attrs["content"], True
+            elif nm == "description":
+                if not desc_seen and "content" in attrs:
+                    meta_description, desc_seen = attrs["content"], True
+            if "elastic" in attrs.get("class", "").split() and "name" in attrs and "content" in attrs:
+                elastic_metas.append((attrs["name"], attrs["content"]))
+        elif name == "link":
+            if canonical_href is None and "canonical" in attrs.get("rel", "").lower().split() \
+                    and attrs.get("href", "").strip():
+                canonical_href = attrs["href"]
+        elif name == "title":
+            if title_tag is None:
+                title_tag = n
+        elif name == "base":
+            if base_href is None and attrs.get("href", "").strip():
+                base_href = attrs["href"].strip()
+        elif in_body and headings_open and name in _HEADING_NAMES:
+            t = element_text(n)
+            if t and t not in hseen:
+                hseen.add(t)
+                headings.append(t)
+                if len(headings) >= max_headings:
+                    headings_open = False
+        elif name == "body" and body_el is None:
+            body_el = n
+            in_body = True
+        children = n.children
+        if children:
+            for child in reversed(children):
+                stack.append((child, in_body))
+
+    # base URL (html.rb:53-71): first <base href>, possibly relative
+    if base_href is not None:
+        resolved = resolve_href(page_url, base_href)
+        page_base = resolved if resolved is not None else page_url
+    else:
+        page_base = page_url
+
+    # --- links (html.rb:74-94): resolve against base, doc order, cap ------
+    resolver = make_resolver(page_base)
+    links = [
+        {"href": href, "url": resolver(href), "nofollow": nofollow, "pos": pos}
+        for pos, (href, nofollow) in enumerate(raw_links)
+    ]
 
     # indexed links (html.rb:97-104 + document_mapper links limit): first-N
     # *valid* links in doc order, then string-sorted
@@ -169,62 +285,41 @@ def extract_page(
     indexed_links = sorted(valid_urls)
 
     # canonical (html.rb:107-117) — resolved against the page URL (not base)
-    canonical_url = None
-    for el in doc.iter_elements("link"):
-        if "canonical" in el.attr("rel").lower().split() and el.attrs.get("href", "").strip():
-            canonical_url = resolve_href(page_url, el.attrs["href"])
-            break
+    canonical_url = resolve_href(page_url, canonical_href) if canonical_href else None
 
-    meta_nofollow = _meta_robots_contains(doc, "nofollow")
-    meta_noindex = _meta_robots_contains(doc, "noindex")
+    meta_nofollow = any("nofollow" in c for c in robots_contents)
+    meta_noindex = any("noindex" in c for c in robots_contents)
 
-    title_tag = doc.find_first("title")
     title = limit_bytesize(node_descendant_text(title_tag) if title_tag else "", max_title_size)
 
-    body_doc = doc
     if exclude_tags:
-        body_doc = remove_tags(doc, exclude_tags)
-    body_tag = dom.body_of(body_doc)
-    if body_tag is None:
+        body_tag = dom.body_of(remove_tags(doc, exclude_tags))
+        body = (
+            limit_bytesize(node_descendant_text(transform(body_tag)), max_body_size)
+            if body_tag is not None
+            else ""
+        )
+    elif body_el is None:
         body = ""
     else:
-        body_tag = transform(body_tag)
+        # directive-free pages (the vast majority) skip the transformer's
+        # deep copy — transform() is the identity on them by construction
+        body_tag = transform(body_el) if has_directives else body_el
         body = limit_bytesize(node_descendant_text(body_tag), max_body_size)
-
-    # headings (html.rb:204-218): first N non-empty h1..h6, set-deduped
-    headings = []
-    hseen = set()
-    real_body = dom.body_of(doc)
-    if real_body is not None:
-        for h in real_body.iter_elements("h1", "h2", "h3", "h4", "h5", "h6"):
-            t = element_text(h)
-            if not t or t in hseen:
-                continue
-            hseen.add(t)
-            headings.append(t)
-            if len(headings) >= max_headings:
-                break
-
-    meta_keywords = _first_meta_content(doc, "keywords")
-    meta_keywords = limit_bytesize(meta_keywords, max_keywords_size) if meta_keywords else None
-    meta_description = _first_meta_content(doc, "description")
-    meta_description = (
-        limit_bytesize(meta_description, max_description_size) if meta_description else None
-    )
 
     # elastic meta tags (html.rb:141-153) + body data attributes (155-171)
     extra_fields = {}
-    for el in doc.iter_elements("meta"):
-        if "elastic" in el.classes() and "name" in el.attrs and "content" in el.attrs:
-            nm = el.attrs["name"]
-            if valid_field_name(nm):
-                extra_fields[nm] = limit_bytesize(el.attrs["content"], max_elastic_tag_size)
-    if real_body is not None:
-        for el in real_body.iter_elements():
-            if el.has_attr("data-elastic-name"):
-                nm = el.attr("data-elastic-name")
-                if valid_field_name(nm):
-                    extra_fields[nm] = limit_bytesize(element_text(el), max_data_attribute_size)
+    for nm, content in elastic_metas:
+        if valid_field_name(nm):
+            extra_fields[nm] = limit_bytesize(content, max_elastic_tag_size)
+    for nm, el in data_attrs:
+        if valid_field_name(nm):
+            extra_fields[nm] = limit_bytesize(element_text(el), max_data_attribute_size)
+
+    meta_keywords = limit_bytesize(meta_keywords, max_keywords_size) if meta_keywords else None
+    meta_description = (
+        limit_bytesize(meta_description, max_description_size) if meta_description else None
+    )
 
     # extraction rules merge LAST, over meta tags / data attributes
     # (document_mapper.rb:36-41 merges extraction_rule_fields after

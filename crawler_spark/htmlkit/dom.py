@@ -182,6 +182,210 @@ class _DomBuilder(HTMLParser):
         self.stack[-1].append(Comment(data))
 
 
+# --- fast tokenizer -------------------------------------------------------
+#
+# A single-pass re-implementation of the exact ``html.parser`` tokenization
+# we rely on (convert_charrefs=True, no charref/entityref callbacks), reusing
+# the stdlib's own compiled regexes so the token boundaries are identical by
+# construction. It skips ``goahead``'s per-character bookkeeping
+# (updatepos/rawdata slicing/method dispatch), which dominates stdlib parse
+# time. Exotic constructs (``<![`` marked sections) raise and the caller
+# falls back to ``_DomBuilder`` for the whole document; a golden test pins
+# tree equality between the two builders over the corpus + adversarial
+# fragments.
+
+from html import parser as _hp
+from html import unescape as _unescape
+
+_TAGFIND = _hp.tagfind_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+_LOCATE_END = _hp.locatestarttagend_tolerant
+_ENDTAGFIND = _hp.endtagfind
+_COMMENTCLOSE = _hp.commentclose
+import re as _re
+
+# exact mirror of 3.11 set_cdata_mode's `interesting` pattern
+_CDATA_CLOSE = {
+    "script": _re.compile(r"</\s*script\s*>", _re.I),
+    "style": _re.compile(r"</\s*style\s*>", _re.I),
+}
+_ATTR_NEXT = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+class _NeedsStdlib(Exception):
+    pass
+
+
+def _fast_build(rawdata: str) -> Element:
+    root = Element("#root")
+    stack = [root]
+    n = len(rawdata)
+    i = 0
+    cdata_elem = None
+
+    def emit(node):
+        node.parent = stack[-1]
+        stack[-1].children.append(node)
+
+    def pop_to(tag):
+        if tag in VOID_ELEMENTS:
+            return
+        for idx in range(len(stack) - 1, 0, -1):
+            if stack[idx]._name == tag:
+                del stack[idx:]
+                return
+
+    while i < n:
+        # --- text run up to the next construct ---------------------------
+        if cdata_elem is None:
+            j = rawdata.find("<", i)
+            if j < 0:
+                emit(Text(_unescape(rawdata[i:n])))
+                return root
+            if i < j:
+                emit(Text(_unescape(rawdata[i:j])))
+        else:
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if m is None:
+                return root  # stdlib drops unterminated CDATA at EOF
+            j = m.start()
+            if i < j:
+                emit(Text(rawdata[i:j]))
+        i = j
+
+        c = rawdata[i + 1 : i + 2]
+        k = -1
+        if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            # --- start tag (parse_starttag + check_for_whole_start_tag) --
+            m = _LOCATE_END.match(rawdata, i)
+            j2 = m.end()
+            nxt = rawdata[j2 : j2 + 1]
+            if nxt == ">":
+                endpos = j2 + 1
+            elif nxt == "/":
+                endpos = j2 + 2 if rawdata.startswith("/>", j2) else -1
+            elif nxt == "" or nxt in _ATTR_NEXT:
+                endpos = -1
+            else:
+                endpos = j2 if j2 > i else i + 1
+            if endpos >= 0:
+                mt = _TAGFIND.match(rawdata, i + 1)
+                kk = mt.end()
+                tag = mt.group(1).lower()
+                attrs = {}
+                while kk < endpos:
+                    ma = _ATTRFIND.match(rawdata, kk)
+                    if not ma:
+                        break
+                    attrname, rest, attrvalue = ma.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = _unescape(attrvalue)
+                    name = attrname.lower()
+                    if name not in attrs:
+                        attrs[name] = attrvalue if attrvalue is not None else ""
+                    kk = ma.end()
+                end = rawdata[kk:endpos].strip()
+                if end not in (">", "/>"):
+                    emit(Text(rawdata[i:endpos]))  # raw, as stdlib handle_data
+                    i = endpos
+                    continue
+                el = Element(tag)
+                el.attrs = attrs
+                emit(el)
+                if end == ">":
+                    if tag not in VOID_ELEMENTS:
+                        stack.append(el)
+                        if tag in ("script", "style"):
+                            cdata_elem = tag
+                i = endpos
+                continue
+            # endpos < 0 → EOF-incomplete: fall through to recovery
+        elif c == "/":
+            # --- end tag (parse_endtag) ----------------------------------
+            gt = rawdata.find(">", i + 1)
+            if gt >= 0:
+                gtpos = gt + 1
+                m = _ENDTAGFIND.match(rawdata, i)
+                if m:
+                    elem = m.group(1).lower()
+                    if cdata_elem is not None and elem != cdata_elem:
+                        emit(Text(rawdata[i:gtpos]))
+                    else:
+                        pop_to(elem)
+                        cdata_elem = None
+                    i = m.end() if cdata_elem is None else gtpos
+                    continue
+                if cdata_elem is not None:
+                    emit(Text(rawdata[i:gtpos]))
+                    i = gtpos
+                    continue
+                nm = _TAGFIND.match(rawdata, i + 2)
+                if not nm:
+                    if rawdata[i : i + 3] == "</>":
+                        i = i + 3
+                        continue
+                    pos = rawdata.find(">", i + 2)
+                    if pos >= 0:  # bogus comment
+                        emit(Comment(rawdata[i + 2 : pos]))
+                        i = pos + 1
+                        continue
+                else:
+                    pop_to(nm.group(1).lower())
+                    i = rawdata.find(">", nm.end()) + 1
+                    continue
+            # unterminated → recovery
+        elif rawdata.startswith("<!--", i):
+            m = _COMMENTCLOSE.search(rawdata, i + 4)
+            if m:
+                emit(Comment(rawdata[i + 4 : m.start()]))
+                i = m.end()
+                continue
+        elif c == "?":
+            pos = rawdata.find(">", i + 2)
+            if pos >= 0:  # PI: stdlib handle_pi is a no-op
+                i = pos + 1
+                continue
+        elif c == "!":
+            if rawdata.startswith("<![", i):
+                raise _NeedsStdlib  # marked section (_markupbase machinery)
+            if rawdata[i : i + 9].lower() == "<!doctype":
+                pos = rawdata.find(">", i + 9)
+                if pos >= 0:  # stdlib handle_decl is a no-op
+                    i = pos + 1
+                    continue
+            else:
+                pos = rawdata.find(">", i + 2)
+                if pos >= 0:  # bogus comment
+                    emit(Comment(rawdata[i + 2 : pos]))
+                    i = pos + 1
+                    continue
+        elif i + 1 < n:
+            emit(Text("<"))
+            i += 1
+            continue
+        else:
+            emit(Text("<"))  # goahead's trailing-data flush at EOF
+            return root
+
+        # --- EOF-incomplete construct recovery (goahead end=True, k<0) ----
+        k = rawdata.find(">", i + 1)
+        if k < 0:
+            k = rawdata.find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        seg = rawdata[i:k]
+        if seg:
+            emit(Text(seg if cdata_elem is not None else _unescape(seg)))
+        i = k
+    return root
+
+
 def parse(html: str) -> Element:
     """Parse HTML into a document Element with implicit html/head/body.
 
@@ -189,13 +393,19 @@ def parse(html: str) -> Element:
     exactly one ``html`` child with ``head`` + ``body``), mirroring
     ``Jsoup.parse``'s always-materialized structure.
     """
-    b = _DomBuilder()
+    root = None
     try:
-        b.feed(html or "")
-        b.close()
+        root = _fast_build(html or "")
     except Exception:
-        pass  # salvage whatever tree was built — crawlers meet broken HTML
-    root = b.root
+        root = None
+    if root is None:
+        b = _DomBuilder()
+        try:
+            b.feed(html or "")
+            b.close()
+        except Exception:
+            pass  # salvage whatever tree was built — crawlers meet broken HTML
+        root = b.root
 
     html_el = None
     for c in root.children:

@@ -125,16 +125,23 @@ def fetch_join(
         if cache_tracker is not None:
             cache_tracker.append(wave_p)
         hits = page_cols.join(wave_p.hint("shuffle_hash"), on="url_hash", how="inner")
+        # misses probe the CORPUS key column (column-pruned from the
+        # corpus cache, co-partitioned on url_hash → zero-shuffle anti
+        # join) instead of the hit rows — the hit rows with their html
+        # payloads are never cached or computed twice.
+        misses = wave_p.join(
+            pages.select("url_hash"), on="url_hash", how="left_anti"
+        )
     else:
         wave_p = wave
         hits = page_cols.join(F.broadcast(wave_p), on="url_hash", how="inner")
-    hits = hits.cache()
-    if cache_tracker is not None:
-        cache_tracker.append(hits)
-    hit_keys = hits.select("url_hash")
-    if broadcast_wave:
-        hit_keys = F.broadcast(hit_keys)
-    misses = wave_p.join(hit_keys, on="url_hash", how="left_anti").select(
+        hits = hits.cache()
+        if cache_tracker is not None:
+            cache_tracker.append(hits)
+        misses = wave_p.join(
+            F.broadcast(hits.select("url_hash")), on="url_hash", how="left_anti"
+        )
+    misses = misses.select(
         "*",
         F.lit(None).cast("binary").alias("html"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
@@ -272,11 +279,18 @@ def parse_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return fetched.mapInPandas(lambda it: _parse_partition(it, cfg), schema=PARSED_SCHEMA)
 
 
-def docs_from_parsed(parsed: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def docs_from_parsed(
+    parsed: DataFrame, cfg: CrawlConfig, extra_cols: tuple = ()
+) -> DataFrame:
     """Document mapping + output gate (document_mapper.rb:35-102,
     rule_engine/base.rb:65-82): HTML 2xx (not noindex) or extractable
     binary file, redirect chain within budget. URL components derived
-    JVM-side from the normalized URL."""
+    JVM-side from the normalized URL.
+
+    Applied at READ time over the per-wave ``parsed`` table (merge-on-read:
+    the crawl writes one wave file; docs are a filter+projection view of
+    it). ``extra_cols`` passes bookkeeping columns (e.g. the ``wave``
+    partition column) through the projection."""
     d = parsed.filter(
         (
             ((F.col("kind") == "html") & (~F.col("meta_noindex")))
@@ -323,6 +337,7 @@ def docs_from_parsed(parsed: DataFrame, cfg: CrawlConfig) -> DataFrame:
         F.col("content_type"),
         F.col("content_length"),
         F.col("attachment").alias("_attachment"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

@@ -261,14 +261,20 @@ class SparkCrawler:
                 "url_hash", "norm_url", "task_type", "depth", "seq", "redirect_chain"
             ), self.pages, broadcast_wave=n_ready < 100_000,
                 cache_tracker=self._wave_caches)
-            parsed = parse_wave(fetched, cfg).cache()
+            parsed = parse_wave(fetched, cfg)
 
-            # docs Δ (S6 MERGE equivalent)
-            docs = docs_from_parsed(parsed, cfg)
-            self.store.append("docs", docs, wave)
+            # ONE wave-sized write serves docs (read-time view), metrics and
+            # discovery: the parsed table is the docs MERGE Δ (S6) *and* the
+            # link source, and every later consumer is a column-pruned
+            # parquet scan — nothing wave-sized is pinned on the JVM heap
+            # (the previous design cached parsed+hits deserialized, and the
+            # resulting GC/eviction pressure grew with concurrency — the
+            # measured anti-scaling of the admission phase at 4N cores).
+            parsed_path = self.store.append("parsed", parsed, wave)
+            parsed = self.spark.read.parquet(parsed_path)
             _mark("fetch_parse_docs")
 
-            # fetch metrics (A3)
+            # fetch metrics (A3): 3-column pruned scan of the wave file
             self.store.append(
                 "metrics",
                 parsed.groupBy("kind", "status", "depth").agg(F.count("*").alias("n")),
@@ -326,7 +332,6 @@ class SparkCrawler:
             for df in getattr(self, "_wave_caches", []):
                 df.unpersist()
             self._wave_caches = []
-            parsed.unpersist()
             if politeness_on:
                 ready.unpersist()
             wave += 1
@@ -438,12 +443,20 @@ class CrawlResult:
 
     @property
     def docs(self) -> DataFrame:
-        # MERGE-update semantics: latest wave wins per id
+        # Docs are a read-time view over the per-wave parsed table (the
+        # merge-on-read pattern: one write per wave, filter+project at
+        # read). MERGE-update semantics: latest wave wins per id.
         from pyspark.sql import Window
 
-        d = self.store.read("docs")
+        d = docs_from_parsed(
+            self.store.read("parsed"), self.crawler.config, extra_cols=("wave",)
+        )
         w = Window.partitionBy("id").orderBy(F.col("wave").desc())
-        return d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "wave")
+        )
 
     @property
     def lineage(self) -> DataFrame:
