@@ -232,7 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_pairs(_t(spark, sf, "documents"))
 
     def simhash_fps(spark, sf):
-        # rows-only check: xxhash64 has no portable SQL twin
+        # md5-derived 64-bit hash family — replayable in the DuckDB oracle
         return simhash(_t(spark, sf, "documents"))
 
     def ann_topk(spark, sf):
@@ -260,14 +260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=2, k=10)
 
     def lsh_ann(spark, sf):
-        # rows-only: hyperplane signs have no portable SQL twin; recall vs
-        # the exact path is asserted in tests/test_textops.py
-        import random
-
-        rng = random.Random(7)
-        bands = [[[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)] for _ in range(6)]
+        # deterministic plane constants (seeded rng) — the oracle replays
+        # the identical literals SQL-side; recall vs the exact path is
+        # additionally asserted in tests/test_textops.py
         emb = _t(spark, sf, "embeddings")
-        return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), bands, k=10)
+        return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), _lsh_planes(), k=10)
 
     def winnow(spark, sf):
         return winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
@@ -319,6 +316,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB ANSI SQL on the same parquet views)
 
+def _lsh_planes() -> list:
+    """6 bands × 3 hyperplanes × 64 dims, seeded — shared by the Spark
+    query (as column literals) and the DuckDB oracle (as SQL literals)."""
+    import random
+
+    rng = random.Random(7)
+    return [[[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)] for _ in range(6)]
+
+
 _OCC = (
     "CAST((length(' ' || {t} || ' ') - length(replace(' ' || {t} || ' ', ' {w} ', ' ')))"
     " / {n} AS INT)"
@@ -331,6 +337,113 @@ def _occ(t: str, w: str) -> str:
 
 _TOKENS = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
 _STOP = f"({_occ('text', 'the')} + {_occ('text', 'a')} + {_occ('text', 'and')})"
+
+# shared minhash CTE chain (signatures → band keys → bucket-capped pairs);
+# the 64-doc bucket cap mirrors crawler_spark.textops.dedup.minhash_lsh_pairs:
+# small buckets emit exact all-pairs, mega-buckets emit star edges to the
+# min-id representative (the quadratic-blowup guard).
+_MINHASH_CTES = """
+    words AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+      UNION ALL
+      SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || g)) AS sig
+      FROM grams CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (
+      -- NB: // (floor division) — plain / is float division in DuckDB
+      -- and CAST rounds, which would scramble band membership
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(sig, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)),
+    sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands),
+    lsh_pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE a.bsz <= 64
+        UNION ALL
+        SELECT r.id_a, g.doc_id AS id_b
+        FROM sized g
+        JOIN (SELECT band, band_key, min(doc_id) AS id_a
+              FROM sized WHERE bsz > 64 GROUP BY band, band_key) r
+          ON g.band = r.band AND g.band_key = r.band_key AND g.doc_id > r.id_a))
+"""
+
+
+def _simhash_mask(i: int) -> int:
+    m = 1 << i
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+def _simhash_ctes(table: str = "documents") -> str:
+    """CTE chain computing the md5-family 64-bit simhash per doc_id —
+    the SQL replay of crawler_spark.textops.dedup.simhash."""
+    nibs = ",\n               ".join(
+        f"strpos('0123456789abcdef', substr(md5(w), {p}, 1)) - 1 AS n{p}"
+        for p in range(1, 17)
+    )
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN ((n{16 - i // 4} >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    val = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({_simhash_mask(i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
+    )
+    return f"""
+    shwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {table}),
+    shnib AS (SELECT doc_id,
+               {nibs}
+              FROM shwords),
+    shvotes AS (SELECT doc_id,
+               {votes}
+              FROM shnib GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM shvotes)
+"""
+
+
+def _lsh_ann_sql() -> str:
+    """SQL replay of lsh_topk with the identical plane literals."""
+    planes = _lsh_planes()
+    band_ctes = []
+    for bi, band in enumerate(planes):
+        buckets = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(x) for x in p)
+            + f"]) >= 0 THEN {1 << pi} ELSE 0 END)"
+            for pi, p in enumerate(band)
+        )
+        band_ctes.append(f"b{bi} AS (SELECT vec_id, ({buckets}) AS bucket FROM embeddings)")
+    cand_union = "\n      UNION ALL\n      ".join(
+        f"SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id "
+        f"FROM b{bi} v JOIN b{bi} q ON v.bucket = q.bucket "
+        f"WHERE q.vec_id < 5 AND v.vec_id != q.vec_id"
+        for bi in range(len(planes))
+    )
+    return f"""
+    WITH {', '.join(band_ctes)},
+    cand AS (SELECT DISTINCT query_id, neighbor_id FROM (
+      {cand_union})),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(v.embedding, q.embedding), 4) AS cos
+      FROM cand c
+      JOIN embeddings v ON v.vec_id = c.neighbor_id
+      JOIN embeddings q ON q.vec_id = c.query_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -459,28 +572,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(seed AS INT) AS seed, min(md5(seed || ':' || g)) AS sig
             FROM grams CROSS JOIN seeds GROUP BY doc_id, seed
         """,
-        "minhash_lsh_pairs": """
-            WITH words AS (
-              SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-            grams AS (
-              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
-              FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
-              WHERE len(w) >= 3
-              UNION ALL
-              SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
-            seeds AS (SELECT unnest(range(0, 16)) AS seed),
-            sigs AS (
-              SELECT doc_id, seed, min(md5(seed || ':' || g)) AS sig
-              FROM grams CROSS JOIN seeds GROUP BY doc_id, seed),
-            bands AS (
-              -- NB: // (floor division) — plain / is float division in DuckDB
-              -- and CAST rounds, which would scramble band membership
-              SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-                     string_agg(sig, ',' ORDER BY seed) AS band_key
-              FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT))
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        "minhash_lsh_pairs": f"""
+            WITH {_MINHASH_CTES}
+            SELECT id_a, id_b FROM lsh_pairs
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -500,27 +594,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id, strlen(text) AS n_bytes, sha256(text) AS sha256
             FROM documents
         """,
-        "ngram_jaccard": """
-            WITH words AS (
-              SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-            grams AS (
-              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
-              FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
-              WHERE len(w) >= 3
-              UNION ALL
-              SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
-            seeds AS (SELECT unnest(range(0, 16)) AS seed),
-            sigs AS (
-              SELECT doc_id, seed, min(md5(seed || ':' || g)) AS sig
-              FROM grams CROSS JOIN seeds GROUP BY doc_id, seed),
-            bands AS (
-              SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-                     string_agg(sig, ',' ORDER BY seed) AS band_key
-              FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        "ngram_jaccard": f"""
+            WITH {_MINHASH_CTES},
+            pairs AS (SELECT id_a, id_b FROM lsh_pairs),
             gd AS (SELECT DISTINCT doc_id, g FROM grams),
             sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
             inter AS (
@@ -594,7 +670,22 @@ def oracle_sql() -> dict[str, str]:
                      0, CAST(floor(strlen(text) / 100.0) + 1 AS INT) - 1, 10)) AS frame_idx
             FROM documents
         """,
-        # rows-only (no portable SQL twin): simhash + simhash_hamming
-        # (xxhash64 hash family), lsh_ann_topk (random-hyperplane signs;
-        # recall vs exact asserted in tests/test_textops.py)
+        "simhash": f"""
+            WITH {_simhash_ctes()}
+            SELECT doc_id, simhash FROM sh
+        """,
+        "simhash_hamming": f"""
+            WITH {_simhash_ctes()},
+            chunks AS (
+              SELECT doc_id, simhash, t.i AS chunk_idx,
+                     (simhash >> (16 * t.i)) & 65535 AS chunk_val
+              FROM sh, (SELECT unnest([0, 1, 2, 3]) AS i) t)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+                 AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "lsh_ann_topk": _lsh_ann_sql(),
     }

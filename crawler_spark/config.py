@@ -46,10 +46,29 @@ class CrawlConfig:
     # base64 _attachment docs; others are unsupported content (no doc)
     binary_content_extraction_enabled: bool = False
     binary_content_extraction_mime_types: tuple = ()
+    # body decode fallback when the response carries no charset hint
+    # (http_utils/response.rb:53-54,123-135 `default_encoding`)
+    default_encoding: str = "UTF-8"
     default_crawl_delay_s: float = 0.0  # used when robots has none
     politeness_window_s: float = 0.0  # 0 = unlimited per-wave host quota
     user_agent: str = "Elastic-Crawler"
     lineage_enabled: bool = True
+    # wall-clock budget across primary+purge stages (config.rb:158 default
+    # 24h); exceeded → the crawl stops with a :warning outcome
+    # (coordinator.rb:290-302)
+    max_duration_s: float = 24 * 3600.0
+    # purge stage after the primary crawl (coordinator.rb:96-115): re-fetch
+    # docs not refreshed by this run, tombstone the ones that are gone
+    purge_crawl_enabled: bool = True
+    # strict-compat queue cap (url_queue/memory_only.rb:27 default 10_000):
+    # None = unbounded (the frontier is a table, not an in-memory queue).
+    # When set, per-wave admissions beyond the cap deny `queue_full` and
+    # are NOT marked seen (coordinator.rb:631-644 drop-and-unsee).
+    url_queue_size_limit: int | None = None
+    # host count at which the per-host robots rules switch from a
+    # driver-collected broadcast dict to a distributed DataFrame dimension
+    # joined by host_key (the 10^8-host path; set 0 to force it)
+    robots_dimension_threshold: int = 100_000
 
     def normalized_seeds(self) -> list[str]:
         out = []

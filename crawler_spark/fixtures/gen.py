@@ -127,6 +127,8 @@ def generate_corpus(n_hosts: int = 2, pages_per_host: int = 40, seed: int = 42,
             ("https://offsite.example.org/out", "offsite"),
         ]
         root_links = [(f"/p/0", "tree0")] + special_links
+        if hi == 0:
+            root_links.append(("/latin1", "latinlink"))
         h, t = _page_html(f"Root {hi}", [f"rootwords{hi}", "common"], root_links)
         # rel=nofollow link rendered specially
         h = h.replace(
@@ -189,6 +191,14 @@ def generate_corpus(n_hosts: int = 2, pages_per_host: int = 40, seed: int = 42,
         # content, crawled but no doc)
         add(f"{host}/file.pdf", b"<!--MIME:application/pdf-->%PDF-1.4 fake-pdf-" + str(hi).encode())
         add(f"{host}/file.bin", b"<!--MIME:application/octet-stream-->\x00\x01\x02" + bytes([hi]))
+
+        # charset page (http_utils/response.rb:123-135): ISO-8859-1 bytes
+        # behind the <!--CHARSET:...--> marker; expected text is the
+        # properly decoded unicode
+        if hi == 0:
+            latin = "café au lait résumé"
+            h, t = _page_html("Latin1", [latin], [])
+            add(f"{host}/latin1", b"<!--CHARSET:iso-8859-1-->" + h.encode("iso-8859-1"), t)
 
         # exclude-directive page (CRAWLER_DIRECTIVES golden shape)
         excl = (

@@ -101,8 +101,10 @@ def admit(
     seq_base: int,
     num_buckets: int = 32,
     cache_tracker: list | None = None,
-) -> tuple[DataFrame, int]:
-    """Full admission pipeline → (admitted rows with final ``seq``, count).
+    queue_space: int | None = None,
+) -> tuple[DataFrame, int, DataFrame | None]:
+    """Full admission pipeline → (admitted rows with final ``seq``, count,
+    queue-dropped rows).
 
     ``allowed`` must already carry url_hash and have deny_reason null.
     ``seen`` is the url_hash seen table (None on the first wave).
@@ -113,6 +115,14 @@ def admit(
     ``cache_tracker`` for end-of-wave unpersist) so the gate UDF + dedup
     window + seen anti-join run exactly once per wave: the rank-offset
     collect materializes the cache and the later rank/filter reads it.
+
+    ``queue_space`` (strict-compat mode, url_queue/memory_only.rb:37-49 +
+    coordinator.rb:631-644): caps this wave's admissions below the budget;
+    overflow rows come back as the third return value with
+    ``deny_reason = queue_full`` and are NOT marked seen, so later waves
+    can re-discover them — the wave-granularity equivalent of the
+    reference's drop-and-unsee. None = unbounded (the frontier-as-table
+    design has no in-memory queue to protect).
     """
     deduped = wave_dedup(allowed)
     if seen is not None:
@@ -121,11 +131,19 @@ def admit(
     if cache_tracker is not None:
         cache_tracker.append(deduped)
     budget_left = max(0, max_unique - seen_count)
+    cap = budget_left if queue_space is None else min(budget_left, max(0, queue_space))
     ranked, total = ordered_global_rank(
         deduped, num_buckets=num_buckets, seq_span=(0, seq_base + 1)
     )
-    admitted = ranked.filter(F.col("_rank") <= budget_left)
+    admitted = ranked.filter(F.col("_rank") <= cap)
     admitted = admitted.withColumn(
         "seq", (F.col("_rank") + F.lit(seq_base)).cast("long")
     ).drop("_rank")
-    return admitted, min(total, budget_left)
+    dropped = None
+    if queue_space is not None:
+        dropped = (
+            ranked.filter((F.col("_rank") > cap) & (F.col("_rank") <= budget_left))
+            .drop("_rank")
+            .withColumn("deny_reason", F.lit("queue_full"))
+        )
+    return admitted, min(total, cap), dropped

@@ -114,7 +114,8 @@ def _robots_verdicts(rb: RobotRules, paths: pd.Series) -> pd.Series:
     return allowed
 
 
-def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozenset):
+def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozenset,
+                  emit_dim_cols: bool = False):
     """Build the stateless-gate verdict UDF.
 
     robots_bc: Broadcast[dict[host_key, RobotRules.to_tuple()]]
@@ -235,19 +236,28 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
                 reasons.at[i] = _verdict(
                     url, pdf["task_type"].at[i], cfg, allowed_sites, rb, engines
                 )
+                if emit_dim_cols:
+                    site.at[i] = U.url_site(url)
+                    path.at[i] = U.url_path(url)
 
         out = pdf.copy()
         out["norm_url"] = norm
         out["deny_reason"] = reasons
         out["host_key"] = host_key.where(norm.notna())
         out["crawl_delay_ms"] = delays
+        if emit_dim_cols:
+            out["_site"] = site.where(norm.notna())
+            out["_path"] = path.where(norm.notna())
         return out
 
     def gate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        robots = {k: RobotRules.from_tuple(v) for k, v in (robots_bc.value or {}).items()}
+        robots = {
+            k: RobotRules.from_tuple(v)
+            for k, v in ((robots_bc.value if robots_bc is not None else None) or {}).items()
+        }
         engines = {
             site: RuleEngine.from_specs(site, specs)
-            for site, specs in (rules_bc.value or {}).items()
+            for site, specs in ((rules_bc.value if rules_bc is not None else None) or {}).items()
         }
         for pdf in it:
             yield _gate_batch(pdf, robots, engines)
@@ -277,25 +287,110 @@ def _verdict(url: str, task_type: str, cfg: CrawlConfig, allowed_sites, rb, engi
     return None
 
 
+def make_robots_stage_udf(cfg: CrawlConfig, rules_bc):
+    """Second gate pass for the robots-DIMENSION mode: rows arrive with a
+    ``rules_json`` column (left-joined per host_key from the distributed
+    robots dimension) instead of a driver-broadcast robots dict. Applies
+    the robots verdict, then the crawl-rules engine, preserving the
+    reference's domain → robots → rules precedence (the first pass already
+    attributed everything up to domain_filter_denied)."""
+    import json
+
+    def stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        engines = {
+            site: RuleEngine.from_specs(site, specs)
+            for site, specs in (rules_bc.value or {}).items()
+        }
+        for pdf in it:
+            reasons = pdf["deny_reason"]
+            delays = pdf["crawl_delay_ms"].copy()
+            eligible = reasons.isna() & (pdf["task_type"] != "sitemap")
+            robots_denied = pd.Series(False, index=pdf.index)
+            has_rules = pdf["rules_json"].notna()
+            if has_rules.any():
+                hk = pdf["host_key"]
+                for h, idx in hk[has_rules].groupby(hk[has_rules]).groups.items():
+                    rb = RobotRules.from_tuple(json.loads(pdf["rules_json"][idx[0]]))
+                    if rb.crawl_delay_ms and rb.crawl_delay_ms > 0:
+                        delays[idx] = int(rb.crawl_delay_ms)
+                    sub = idx[eligible[idx]]
+                    if len(sub):
+                        robots_denied[sub] = ~_robots_verdicts(rb, pdf["_path"][sub])
+            rules_denied = pd.Series(False, index=pdf.index)
+            if engines:
+                st = pdf["_site"]
+                for s, idx in st[st.notna()].groupby(st[st.notna()]).groups.items():
+                    eng = engines.get(s)
+                    if eng is None or not eng.rules:
+                        continue
+                    sub = idx[eligible[idx] & ~robots_denied[idx]]
+                    if len(sub):
+                        rules_denied[sub] = pdf["norm_url"][sub].map(eng.outcome) == "deny"
+            out = pdf.drop(columns=["rules_json", "_site", "_path"])
+            out["deny_reason"] = np.select(
+                [robots_denied, rules_denied],
+                ["robots_txt_disallowed", "rule_engine_denied"],
+                default=reasons,
+            )
+            out["crawl_delay_ms"] = delays
+            yield out
+
+    return stage
+
+
 def apply_gates(
     candidates: DataFrame,
     cfg: CrawlConfig,
     robots_bc,
     rules_bc,
+    robots_dim: DataFrame | None = None,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stateless gates + depth gate → adds deny_reason/host_key/crawl_delay_ms.
 
     Depth check placed after the UDF verdict to preserve reason attribution
     (coordinator.rb:684-704).
+
+    ``robots_dim``: the 10^8-host path — per-host robots rules as a
+    DataFrame (host_key, rules_json) joined into the candidate stream
+    instead of a driver-collected broadcast dict; ``broadcast_dim`` picks
+    broadcast vs co-partitioned shuffle join for the dimension.
     """
     allowed = frozenset(cfg.allowed_sites())
-    schema = StructType(candidates.schema.fields + _GATE_OUT.fields)
-    gated = candidates.mapInPandas(
-        make_gate_udf(cfg, robots_bc, rules_bc, allowed), schema=schema
-    )
-    gated = gated.filter(F.col("norm_url").isNotNull())
-    if "needs_norm" in gated.columns:
-        gated = gated.drop("needs_norm")
+    if robots_dim is None:
+        schema = StructType(candidates.schema.fields + _GATE_OUT.fields)
+        gated = candidates.mapInPandas(
+            make_gate_udf(cfg, robots_bc, rules_bc, allowed), schema=schema
+        )
+        gated = gated.filter(F.col("norm_url").isNotNull())
+        if "needs_norm" in gated.columns:
+            gated = gated.drop("needs_norm")
+    else:
+        schema1 = StructType(
+            candidates.schema.fields
+            + _GATE_OUT.fields
+            + [StructField("_site", StringType()), StructField("_path", StringType())]
+        )
+        # crawl rules deliberately NOT applied in pass 1 (rules_bc=None):
+        # the reference checks robots before crawl rules, and robots lives
+        # in pass 2 here
+        stage1 = candidates.mapInPandas(
+            make_gate_udf(cfg, None, None, allowed, emit_dim_cols=True),
+            schema=schema1,
+        )
+        stage1 = stage1.filter(F.col("norm_url").isNotNull())
+        if "needs_norm" in stage1.columns:
+            stage1 = stage1.drop("needs_norm")
+        dim = robots_dim.select("host_key", "rules_json")
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        joined = stage1.join(dim, on="host_key", how="left")
+        schema2 = StructType(
+            [f for f in schema1.fields if f.name not in ("needs_norm", "_site", "_path")]
+        )
+        gated = joined.mapInPandas(make_robots_stage_udf(cfg, rules_bc), schema=schema2)
     return gated.withColumn(
         "deny_reason",
         F.coalesce(

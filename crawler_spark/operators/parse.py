@@ -39,6 +39,26 @@ from ..functions.pageextract import classify_content, extract_page, url_componen
 from ..functions.sitemaps import parse_sitemap
 
 STATUS_MARK = re.compile(rb"^<!--STATUS:(\d{3})-->")
+# corpus stand-in for the Content-Type charset parameter
+# (http_utils/response.rb:123-135): pages whose bytes are not UTF-8 carry a
+# leading <!--CHARSET:<enc>--> marker; everything else decodes with the
+# configured default_encoding
+CHARSET_MARK = re.compile(rb"^<!--CHARSET:([A-Za-z0-9_\-]+)-->")
+
+
+def decode_body(body: bytes, default_encoding: str = "UTF-8") -> tuple[bytes, str]:
+    """Strip the charset marker (if any) and return (payload, encoding)."""
+    m = CHARSET_MARK.match(body)
+    if m:
+        return body[m.end():], m.group(1).decode("ascii")
+    return body, default_encoding or "UTF-8"
+
+
+def decode_text(payload: bytes, encoding: str) -> str:
+    try:
+        return payload.decode(encoding, "replace")
+    except LookupError:  # unknown charset label → the reference's fallback
+        return payload.decode("utf-8", "replace")
 
 LINK_TYPE = StructType(
     [
@@ -163,7 +183,9 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 "depth": int(row.depth),
                 "seq": int(row.seq),
                 "task_type": row.task_type,
-                "redirect_chain": list(row.redirect_chain or []),
+                "redirect_chain": (
+                    list(row.redirect_chain) if row.redirect_chain is not None else []
+                ),
                 "host_key": U.url_host_key(norm_url),
                 "kind": "error",
                 "status": 404,
@@ -197,11 +219,19 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 rec["status"] = int(m.group(1))
                 out.append(rec)
                 continue
-            kind, location = classify_content(norm_url, body[:512].decode("utf-8", "replace"))
+            body, enc = decode_body(body, cfg.default_encoding)
+            kind, location = classify_content(norm_url, decode_text(body[:512], enc))
             rec["status"] = 301 if kind == "redirect" else 200
             rec["kind"] = kind
             if kind == "redirect":
-                rec["location"] = U.join_url(norm_url, location) if location else None
+                # fetch-time redirect budget (http_executor.rb:57-70): a
+                # redirect response whose chain would exceed max_redirects
+                # becomes a RedirectError — not followed, no doc
+                if len(rec["redirect_chain"]) + 1 > cfg.max_redirects:
+                    rec["kind"] = "error"
+                    rec["location"] = None
+                else:
+                    rec["location"] = U.join_url(norm_url, location) if location else None
                 out.append(rec)
                 continue
             if row.task_type == "sitemap" or kind == "sitemap":
@@ -238,7 +268,7 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 continue
             page = extract_page(
                 norm_url,
-                body.decode("utf-8", "replace"),
+                decode_text(body, enc),
                 max_extracted_links=cfg.max_extracted_links_count,
                 max_indexed_links=cfg.max_indexed_links_count,
                 max_headings=cfg.max_headings_count,

@@ -77,18 +77,21 @@ class CrawlSimulator:
     # --- offline fetch ----------------------------------------------------
 
     def fetch(self, norm_url: str):
-        """Return (kind, status, content_bytes, location)."""
+        """Return (kind, status, content_bytes, location, encoding)."""
+        from ..operators.parse import decode_body, decode_text
+
         body = self.pages.get(norm_url)
         if body is None:
-            return "error", 404, b"", None
+            return "error", 404, b"", None, "utf-8"
         m = STATUS_MARK.match(body)
         if m:
-            return "error", int(m.group(1)), b"", None
-        kind, location = classify_content(norm_url, body[:512].decode("utf-8", "replace"))
+            return "error", int(m.group(1)), b"", None, "utf-8"
+        body, enc = decode_body(body, self.config.default_encoding)
+        kind, location = classify_content(norm_url, decode_text(body[:512], enc))
         if kind == "redirect":
-            return "redirect", 301, body, location
+            return "redirect", 301, body, location, enc
         # `location` carries the MIME type for kind == "file"
-        return kind, 200, body, location
+        return kind, 200, body, location, enc
 
     # --- robots (coordinator.rb:157-194) -----------------------------------
 
@@ -96,7 +99,7 @@ class CrawlSimulator:
         for site in sorted(self.allowed_sites):
             robots_url = site + "/robots.txt"
             n, _ = U.try_normalize(robots_url)
-            kind, status, content, location = self.fetch(n)
+            kind, status, content, location, _enc = self.fetch(n)
             # follow redirects for robots (redirect error -> 404 behavior)
             hops = 0
             while kind == "redirect" and location and hops < self.config.max_redirects:
@@ -104,7 +107,7 @@ class CrawlSimulator:
                 if target is None:
                     break
                 n = target
-                kind, status, content, location = self.fetch(n)
+                kind, status, content, location, _enc = self.fetch(n)
                 hops += 1
             host_key = U.url_host_key(site + "/")
             if kind == "robots_txt" and status < 300:
@@ -200,7 +203,10 @@ class CrawlSimulator:
         return self
 
     def process_task(self, task: Task):
-        kind, status, content, location = self.fetch(task.url)
+        kind, status, content, location, enc = self.fetch(task.url)
+        # fetch-time redirect budget (http_executor.rb:57-70): RedirectError
+        if kind == "redirect" and len(task.redirect_chain) + 1 > self.config.max_redirects:
+            kind, location = "error", None
         self.fetches.append(
             {"url": task.url, "kind": kind, "status": status, "depth": task.depth,
              "type": task.type}
@@ -253,7 +259,8 @@ class CrawlSimulator:
             self.docs.append(doc)
             return
         # HTML
-        html_text = content.decode("utf-8", "replace")
+        from ..operators.parse import decode_text as _dt
+        html_text = _dt(content, enc)
         page = extract_page(
             task.url, html_text,
             max_extracted_links=self.config.max_extracted_links_count,

@@ -57,6 +57,7 @@ class SparkCrawler:
         state_dir: str,
         max_waves: int = 64,
         resume: bool = False,
+        recrawl: bool = False,
     ):
         self.spark = spark
         self.config = config
@@ -71,8 +72,11 @@ class SparkCrawler:
         self.store = StateStore(spark, state_dir)
         self.max_waves = max_waves
         self.resume = resume
+        self.recrawl = recrawl
         self.robots_bc = None
+        self.robots_dim = None
         self.rules_bc = None
+        self.outcome = None  # (stage, outcome, message) set by run()
 
     # --- robots stage (S2: coordinator.rb:157-194) --------------------------
 
@@ -111,6 +115,56 @@ class SparkCrawler:
                 ).to_tuple()
         return out
 
+    def load_robots_df(self) -> DataFrame:
+        """Distributed robots dimension — the 10^8-host path: robots bodies
+        are fetched by a url_hash join against the corpus and parsed
+        executor-side into ``(host_key, rules_json, sitemaps_json)``; the
+        driver never materializes the rules. (The site list itself comes
+        from config here; a production allowlist at that scale would arrive
+        as a table and enter the same join.)"""
+        import json as _json
+
+        sites = self.config.allowed_sites()
+        rows = [
+            (U.try_normalize(s + "/robots.txt")[0], U.url_host_key(s + "/")) for s in sites
+        ]
+        robots_df = self.spark.createDataFrame(
+            [(r, h, U.url_sha1(r)) for r, h in rows if r],
+            "norm_url string, host_key string, url_hash string",
+        )
+        fetched = robots_df.join(
+            self.pages.select("url_hash", "html"), on="url_hash", how="left"
+        ).select("host_key", "norm_url", "html")
+        agent = self.config.user_agent
+
+        def parse_part(it):
+            import pandas as pd
+
+            for pdf in it:
+                hks, rjs, sms = [], [], []
+                for row in pdf.itertuples(index=False):
+                    if row.html is None:
+                        rb = robots_mod.failed_fetch(404)
+                    else:
+                        body = bytes(row.html)
+                        if body.startswith(b"<!--STATUS:"):
+                            rb = robots_mod.failed_fetch(int(body[11:14]))
+                        else:
+                            rb = robots_mod.parse_robots_txt(
+                                body.decode("utf-8", "replace"),
+                                base_url=row.norm_url, agent=agent,
+                            )
+                    hks.append(row.host_key)
+                    rjs.append(_json.dumps(rb.to_tuple()))
+                    sms.append(_json.dumps(rb.sitemaps))
+                yield pd.DataFrame(
+                    {"host_key": hks, "rules_json": rjs, "sitemaps_json": sms}
+                )
+
+        return fetched.mapInPandas(
+            parse_part, "host_key string, rules_json string, sitemaps_json string"
+        )
+
     # --- helpers -------------------------------------------------------------
 
     def _candidates_df(self, rows):
@@ -133,7 +187,10 @@ class SparkCrawler:
                         seen_count: int, seq_base: int, wave: int):
         """Gate chain → denied lineage rows + admitted frontier rows +
         admitted count (derived, no count job)."""
-        gated = apply_gates(candidates, self.config, self.robots_bc, self.rules_bc)
+        gated = apply_gates(
+            candidates, self.config, self.robots_bc, self.rules_bc,
+            robots_dim=self.robots_dim,
+        )
         gated = gated.withColumn(
             "url_hash", F.sha1(F.encode(F.col("norm_url"), "utf-8"))
         )
@@ -145,20 +202,63 @@ class SparkCrawler:
             self._wave_caches.append(gated)
         denied = gated.filter(F.col("deny_reason").isNotNull())
         allowed = gated.filter(F.col("deny_reason").isNull())
-        admitted, n_adm = admit(
+        admitted, n_adm, queue_dropped = admit(
             allowed, seen, seen_count, self.config.max_unique_url_count, seq_base,
             num_buckets=int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
             cache_tracker=self._wave_caches,
+            queue_space=self.config.url_queue_size_limit,
         )
+        if queue_dropped is not None:
+            # strict-compat queue cap: dropped rows surface as queue_full
+            # denials (never marked seen → re-discoverable later)
+            denied = denied.unionByName(
+                queue_dropped.select(*denied.columns), allowMissingColumns=False
+            )
         admitted = admitted.cache()
         self._wave_caches.append(admitted)
-        # already-seen / budget attribution for lineage (metrics only):
-        # everything allowed-but-not-admitted was either a wave-dup,
-        # already_seen, or budget-capped; record as already_seen|budget.
+        # already-seen vs budget attribution for lineage, replaying the
+        # reference's per-URL order exactly (coordinator.rb:566-592,
+        # 707-717):
+        # * a same-batch twin of an admitted url is dropped SILENTLY (batch
+        #   dedup emits no event) — one batch ≡ one (parent page,
+        #   source_type, task_type) link group;
+        # * the budget is checked BEFORE the seen set, so once it fills at
+        #   admission-order position K* (the last admitted row), everything
+        #   after K* denies too_many_unique_links — dups included;
+        # * before K*, a non-admitted survivor is necessarily a dup of the
+        #   seen set → already_seen.
+        seen_keys = admitted.select("url_hash")
+        if seen is not None:
+            seen_keys = seen_keys.unionByName(seen.select("url_hash"))
+        batch_key = ["url_hash", "parent_seq", "source_type", "task_type"]
         not_admitted = allowed.join(
-            admitted.select("url_hash", "norm_url").withColumnRenamed("norm_url", "_a"),
-            on="url_hash", how="left_anti",
-        ).withColumn("deny_reason", F.lit("already_seen_or_budget"))
+            admitted.select(*batch_key).dropDuplicates(),
+            on=batch_key, how="left_anti",
+        ).join(
+            seen_keys.dropDuplicates(["url_hash"]).withColumn("_in_seen", F.lit(True)),
+            on="url_hash", how="left",
+        )
+        budget_left = max(0, self.config.max_unique_url_count - seen_count)
+        filled = n_adm >= budget_left  # budget exhausted at/by this wave
+        if filled and n_adm > 0 and self.config.lineage_enabled:
+            kstar = admitted.filter(F.col("seq") == seq_base + n_adm).select(
+                "parent_seq", "sub_order", "norm_url"
+            ).first()
+            before_fill = (
+                (F.col("parent_seq") < kstar["parent_seq"])
+                | ((F.col("parent_seq") == kstar["parent_seq"])
+                   & ((F.col("sub_order") < kstar["sub_order"])
+                      | ((F.col("sub_order") == kstar["sub_order"])
+                         & (F.col("norm_url") < kstar["norm_url"]))))
+            )
+        else:
+            before_fill = F.lit(not filled)
+        not_admitted = not_admitted.withColumn(
+            "deny_reason",
+            F.when(F.col("_in_seen") & before_fill, F.lit("already_seen")).otherwise(
+                F.lit("too_many_unique_links")
+            ),
+        ).drop("_in_seen")
         return denied, not_admitted, admitted, n_adm
 
     def _lineage(self, df: DataFrame, wave: int, admitted: bool) -> DataFrame:
@@ -179,22 +279,54 @@ class SparkCrawler:
         # per-wave crawl work)
         self.pages.count()
         prep_s = round(time.time() - t0, 3)
-        robots = self.load_robots()
+        if len(cfg.allowed_sites()) >= cfg.robots_dimension_threshold:
+            # 10^8-host path: rules stay a distributed dimension; only the
+            # hosts that advertise sitemaps are collected (bounded by the
+            # sitemap-advertising host count, not the host count)
+            import json as _json
+
+            self.robots_dim = self.load_robots_df().cache()
+            self.robots_bc = None
+            sitemaps_by_host = {
+                r["host_key"]: _json.loads(r["sitemaps_json"])
+                for r in self.robots_dim.filter(F.col("sitemaps_json") != "[]")
+                .select("host_key", "sitemaps_json").collect()
+            }
+        else:
+            robots = self.load_robots()
+            self.robots_bc = self.spark.sparkContext.broadcast(robots)
+            sitemaps_by_host = {
+                hk: robots_mod.RobotRules.from_tuple(robots[hk]).sitemaps
+                for hk in robots
+            }
         robots_s = round(time.time() - t0 - prep_s, 3)
         self._pre_wave = {"prep_s": prep_s, "robots_s": robots_s}
-        self.robots_bc = self.spark.sparkContext.broadcast(robots)
         self.rules_bc = self.spark.sparkContext.broadcast(dict(cfg.crawl_rules))
 
-        manifest = self.store.read_manifest() if self.resume else None
+        manifest = self.store.read_manifest() if (self.resume or self.recrawl) else None
+        if self.recrawl and manifest:
+            # re-crawl over the same state dir (C4 two-stage loop): the
+            # parsed/docs history is retained for the purge stage, the seen
+            # set resets (per-run in the reference, coordinator.rb:48), wave
+            # numbering and the admission seq watermark continue
+            base_wave = manifest["wave"] + 1
+            seq_base = manifest["seq_base"]
+            self.store.reset("seen")
+            self.store.reset("frontier_pending")
+            manifest = None
+        else:
+            base_wave = 0
         if manifest and manifest.get("frontier_pending") is not None:
             wave = manifest["wave"] + 1
+            base_wave = manifest.get("run_base_wave", 0)
             seq_base = manifest["seq_base"]
             seen_count = manifest["seen_count"]
             seen = self.store.read("seen")
             frontier = self.spark.read.parquet(manifest["frontier_pending"])
         else:
-            wave = 0
-            seq_base = 0
+            wave = base_wave
+            if not self.recrawl:
+                seq_base = 0
             seen = None
             seen_count = 0
             # seeds (S1) at depth 1 + sitemaps (S3) at depth 1
@@ -204,15 +336,17 @@ class SparkCrawler:
             ]
             smaps = list(cfg.sitemap_urls)
             if not cfg.sitemap_discovery_disabled:
-                for hk in sorted(robots):
-                    smaps.extend(robots_mod.RobotRules.from_tuple(robots[hk]).sitemaps)
+                for hk in sorted(sitemaps_by_host):
+                    smaps.extend(sitemaps_by_host[hk])
             rows += [
                 (U.try_normalize(u)[0], "sitemap", 1, "sitemap", None, 0, 10_000 + i, [], False)
                 for i, u in enumerate(smaps)
                 if U.try_normalize(u)[0]
             ]
             candidates = self._candidates_df(rows)
-            denied, dup, admitted, n_adm = self._gate_and_admit(candidates, None, 0, 0, wave)
+            denied, dup, admitted, n_adm = self._gate_and_admit(
+                candidates, None, 0, seq_base, wave
+            )
             # the seen table rows ARE frontier rows (full columns): one
             # write serves both the dedup anti-join and the next wave
             pend_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
@@ -220,15 +354,28 @@ class SparkCrawler:
             if cfg.lineage_enabled:
                 self.store.append("lineage", self._lineage(denied, wave, False).unionByName(
                     self._lineage(admitted, wave, True)), wave)
+                self.store.append(
+                    "events", self._events_delta(None, denied, None, admitted), wave
+                )
             seen_count = n_adm
-            seq_base = n_adm
+            seq_base += n_adm
             seen = self.store.read("seen")
-            wave = 1
+            wave += 1
 
         politeness_on = cfg.politeness_window_s > 0 or cfg.default_crawl_delay_s > 0
         pending_count = None  # known pending-frontier size when politeness off
+        self.outcome = ("primary", "success", "Completed the primary crawl.")
 
-        while wave <= self.max_waves:
+        while wave <= base_wave + self.max_waves:
+            if cfg.max_duration_s and (time.time() - t0) > cfg.max_duration_s:
+                # coordinator.rb:290-302: duration budget spans both stages
+                self.outcome = (
+                    "primary", "warning",
+                    f"The crawl is taking too long (elapsed: "
+                    f"{int(time.time() - t0)} sec, limit: "
+                    f"{int(cfg.max_duration_s)} sec).",
+                )
+                break
             if politeness_on:
                 # politeness dispatch (S4): quota per host under the delay budget
                 dispatched = dispatch(
@@ -302,6 +449,12 @@ class SparkCrawler:
                     .unionByName(self._lineage(admitted, wave, True)),
                     wave,
                 )
+                # per-URL event stream (C5, event_generator.rb:135-246):
+                # url-fetch / url-output rows from the wave's parsed file,
+                # url-seed / url-discover(denied) from the admission chain
+                self.store.append(
+                    "events", self._events_delta(parsed, denied, dup, admitted), wave
+                )
                 _mark("lineage")
             seen_count += n_adm
             seq_base += n_adm
@@ -328,6 +481,7 @@ class SparkCrawler:
             )
             m = self.store.read_manifest()
             m["frontier_pending"] = pend_path
+            m["run_base_wave"] = base_wave
             self.store.write_manifest(m)
             for df in getattr(self, "_wave_caches", []):
                 df.unpersist()
@@ -336,7 +490,176 @@ class SparkCrawler:
                 ready.unpersist()
             wave += 1
 
+        if cfg.purge_crawl_enabled and self.outcome[1] == "success":
+            wave = self._run_purge(wave, base_wave, t0)
+        m = self.store.read_manifest()
+        if m is not None:
+            m["outcome"] = {
+                "stage": self.outcome[0], "outcome": self.outcome[1],
+                "message": self.outcome[2],
+            }
+            self.store.write_manifest(m)
         return CrawlResult(self, time.time() - t0)
+
+    def _run_purge(self, wave: int, base_wave: int, t0: float) -> int:
+        """Purge stage (S9/C4, coordinator.rb:96-115): docs whose latest
+        version predates this run's primary stage are re-fetched with link
+        extraction suppressed (coordinator.rb:727-730); any that no longer
+        yield a document are tombstoned into the ``purged`` table — the
+        merge-on-read equivalent of the reference's
+        ``delete_by_query(last_crawled_at < crawl_start)``
+        (output_sink/elasticsearch.rb:105-151)."""
+        cfg = self.config
+        parsed_all = self.store.read("parsed")
+        if parsed_all is None or base_wave == 0:
+            # fresh state dir: nothing can predate this run
+            self.outcome = (
+                "purge", "success",
+                "Skipped purge crawl as no outdated documents were found.",
+            )
+            return wave
+        stale = self._live_docs().filter(F.col("wave") < base_wave).select(
+            F.col("id").alias("url_hash"), F.col("url").alias("norm_url")
+        )
+        purge_t0 = time.time()
+        frontier = stale.select(
+            "url_hash",
+            "norm_url",
+            F.lit("content").alias("task_type"),
+            F.lit(1).alias("depth"),
+            F.lit(0).cast("long").alias("seq"),
+            F.array().cast("array<string>").alias("redirect_chain"),
+        )
+        n = frontier.count()
+        if n == 0:
+            self.outcome = (
+                "purge", "success",
+                "Skipped purge crawl as no outdated documents were found.",
+            )
+            return wave
+        if cfg.max_duration_s and (time.time() - t0) > cfg.max_duration_s:
+            self.outcome = ("purge", "warning", "The crawl is taking too long.")
+            return wave
+        self._wave_caches = []
+        fetched = fetch_join(
+            frontier, self.pages, broadcast_wave=n < 100_000,
+            cache_tracker=self._wave_caches,
+        )
+        parsed = parse_wave(fetched, cfg)
+        parsed_path = self.store.append("parsed", parsed, wave)
+        purge_parsed = self.spark.read.parquet(parsed_path)
+        # tombstones: stale ids that did not produce a document on re-fetch
+        produced = docs_from_parsed(purge_parsed, cfg).select("id")
+        tombs = (
+            stale.select(F.col("url_hash").alias("id"))
+            .join(produced, on="id", how="left_anti")
+        )
+        self.store.append("purged", tombs, wave)
+        if cfg.lineage_enabled:
+            fetch_ev = self._fetch_events(purge_parsed)
+            out_ev = self._output_events(purge_parsed)
+            self.store.append("events", fetch_ev.unionByName(out_ev), wave)
+        m = self.store.read_manifest() or {}
+        self.store.checkpoint(
+            wave, m.get("seq_base", 0), m.get("seen_count", 0),
+            extra={"stage": "purge", "ready": n,
+                   "wave_s": round(time.time() - purge_t0, 3)},
+        )
+        for df in self._wave_caches:
+            df.unpersist()
+        self._wave_caches = []
+        self.outcome = ("purge", "success", "Completed the purge crawl.")
+        return wave + 1
+
+    def _live_docs(self) -> DataFrame:
+        """Latest doc-eligible row per id from the parsed table, minus
+        tombstoned ids (merge-on-read docs view)."""
+        from pyspark.sql import Window
+
+        d = docs_from_parsed(
+            self.store.read("parsed"), self.config, extra_cols=("wave",)
+        )
+        w = Window.partitionBy("id").orderBy(F.col("wave").desc())
+        d = (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        purged = self.store.read("purged")
+        if purged is not None:
+            tomb = purged.groupBy("id").agg(F.max("wave").alias("_pw"))
+            d = (
+                d.join(tomb, on="id", how="left")
+                .filter(F.col("_pw").isNull() | (F.col("wave") > F.col("_pw")))
+                .drop("_pw")
+            )
+        return d
+
+    # --- event stream (C5, event_generator.rb:135-246) ----------------------
+
+    _EVENT_COLS = [
+        "action", "url", "url_hash", "depth", "status", "outcome",
+        "deny_reason", "source_type", "source_url",
+    ]
+
+    def _fetch_events(self, parsed: DataFrame) -> DataFrame:
+        return parsed.select(
+            F.lit("url-fetch").alias("action"),
+            F.col("norm_url").alias("url"),
+            "url_hash",
+            "depth",
+            "status",
+            F.when((F.col("status") >= 200) & (F.col("status") <= 299), "success")
+            .when((F.col("status") >= 300) & (F.col("status") <= 599), "failure")
+            .otherwise("unknown").alias("outcome"),
+            F.lit(None).cast("string").alias("deny_reason"),
+            F.lit(None).cast("string").alias("source_type"),
+            F.lit(None).cast("string").alias("source_url"),
+        )
+
+    def _output_events(self, parsed: DataFrame) -> DataFrame:
+        return docs_from_parsed(parsed, self.config, extra_cols=("depth",)).select(
+            F.lit("url-output").alias("action"),
+            F.col("url"),
+            F.col("id").alias("url_hash"),
+            "depth",
+            F.lit(None).cast("int").alias("status"),
+            F.lit("success").alias("outcome"),
+            F.lit(None).cast("string").alias("deny_reason"),
+            F.lit(None).cast("string").alias("source_type"),
+            F.lit(None).cast("string").alias("source_url"),
+        )
+
+    def _events_delta(
+        self,
+        parsed: DataFrame | None,
+        denied: DataFrame,
+        dup: DataFrame | None,
+        admitted: DataFrame,
+    ) -> DataFrame:
+        def discover(df, action):
+            return df.select(
+                F.lit(action).alias("action"),
+                F.col("norm_url").alias("url"),
+                "url_hash",
+                "depth",
+                F.lit(None).cast("int").alias("status"),
+                F.when(F.col("deny_reason").isNotNull() if "deny_reason" in df.columns
+                       else F.lit(False), "denied").otherwise("allowed").alias("outcome"),
+                (F.col("deny_reason") if "deny_reason" in df.columns
+                 else F.lit(None).cast("string")).alias("deny_reason"),
+                "source_type",
+                "source_url",
+            )
+
+        out = discover(denied, "url-discover").unionByName(discover(admitted, "url-seed"))
+        if dup is not None:
+            out = out.unionByName(discover(dup, "url-discover"))
+        if parsed is not None:
+            out = out.unionByName(self._fetch_events(parsed)).unionByName(
+                self._output_events(parsed)
+            )
+        return out
 
     def _discoveries(self, parsed: DataFrame) -> DataFrame:
         """Flatten one wave's parse output into gate candidates with the
@@ -445,22 +768,24 @@ class CrawlResult:
     def docs(self) -> DataFrame:
         # Docs are a read-time view over the per-wave parsed table (the
         # merge-on-read pattern: one write per wave, filter+project at
-        # read). MERGE-update semantics: latest wave wins per id.
-        from pyspark.sql import Window
-
-        d = docs_from_parsed(
-            self.store.read("parsed"), self.crawler.config, extra_cols=("wave",)
-        )
-        w = Window.partitionBy("id").orderBy(F.col("wave").desc())
-        return (
-            d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "wave")
-        )
+        # read): latest wave wins per id, tombstoned ids excluded.
+        return self.crawler._live_docs().drop("wave")
 
     @property
     def lineage(self) -> DataFrame:
         return self.store.read("lineage")
+
+    @property
+    def events(self) -> DataFrame:
+        return self.store.read("events")
+
+    @property
+    def purged(self) -> DataFrame:
+        return self.store.read("purged")
+
+    @property
+    def outcome(self):
+        return self.crawler.outcome
 
     @property
     def metrics(self) -> DataFrame:

@@ -61,6 +61,15 @@ class StateStore:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def reset(self, name: str):
+        """Drop a state table (re-crawl resets the per-run seen set while
+        the docs/parsed history persists for the purge stage)."""
+        import shutil
+
+        d = self.table_dir(name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
     def exists(self, name: str) -> bool:
         d = self.table_dir(name)
         return os.path.isdir(d) and any(p.startswith("wave=") for p in os.listdir(d))

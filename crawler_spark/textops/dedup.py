@@ -67,13 +67,25 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     df: DataFrame, n_hashes: int = 16, bands: int = 4, gram: int = 3,
-    text_col: str = "text", id_col: str = "doc_id",
+    text_col: str = "text", id_col: str = "doc_id", max_bucket: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
 
     band key = ordered concat of the band's signatures; pair = self-join on
     (band, key) with id_a < id_b, deduped across bands.
+
+    Mega-bucket guard (the 100 TB skew case): a boilerplate-heavy corpus
+    puts B documents into one (band, band_key) bucket, and the naive
+    self-join emits B² rows. Buckets larger than ``max_bucket`` instead
+    emit *star edges* to the bucket representative (min id) — B-1 pairs
+    that keep the duplicate cluster connected for the downstream
+    group/verify stage, which is all a dedup pipeline needs from LSH
+    candidates. Small buckets keep exact all-pairs semantics. The bucket
+    size comes from a window count (one linear pass per bucket; a bucket
+    never becomes a join blow-up).
     """
+    from pyspark.sql import Window
+
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, n_hashes, gram, text_col, id_col)
     bandkeys = (
@@ -86,35 +98,68 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
     )
-    a = bandkeys.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = bandkeys.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    return (
+    w = Window.partitionBy("band", "band_key")
+    sized = bandkeys.withColumn("bsz", F.count("*").over(w))
+    small = sized.filter(F.col("bsz") <= max_bucket)
+    a = small.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = small.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    pairs_small = (
         a.join(b, on=["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    big = sized.filter(F.col("bsz") > max_bucket)
+    reps = big.groupBy("band", "band_key").agg(F.min(id_col).alias("id_a"))
+    pairs_big = (
+        big.join(reps, on=["band", "band_key"])
+        .filter(F.col(id_col) > F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
+
+
+def _simhash_mask(i: int) -> int:
+    # two's-complement long literal (1 << 63 overflows java long)
+    m = 1 << i
+    return m - (1 << 64) if m >= (1 << 63) else m
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens (xxhash64 word hashes, bitwise
-    majority vote). JVM-side only; rows-only correctness check (xxhash64 has
-    no portable SQL oracle)."""
-    def mask(i: int) -> int:
-        # two's-complement long literal (1 << 63 overflows java long)
-        m = 1 << i
-        return m - (1 << 64) if m >= (1 << 63) else m
+    """64-bit SimHash over word tokens, bitwise majority vote.
 
+    The word-hash family is the first 64 bits of md5 (hex chars 1-16 read
+    big-endian), extracted via nibble lookups — chosen over xxhash64 so the
+    identical signature is computable in ANSI SQL (the DuckDB oracle
+    replays ``strpos('0123456789abcdef', substr(md5(w), p, 1)) - 1``).
+    All JVM-side expressions: md5 + instr + shiftright inside whole-stage
+    codegen; one groupBy shuffle of 64 small agg columns.
+    """
     words = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
-    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
+    hx = words.select(id_col, F.md5("w").alias("hx"))
+    # nibble p (1-indexed hex char) as int 0..15
+    nib = hx.select(
+        id_col,
+        *[
+            F.expr(f"instr('0123456789abcdef', substring(hx, {p}, 1)) - 1").alias(f"n{p}")
+            for p in range(1, 17)
+        ],
+    )
+    # bit i (0 = LSB of the 64-bit value) lives in hex char 16 - i//4,
+    # bit position i%4 within that nibble
     bit_votes = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)).alias(f"b{i}")
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"n{16 - i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
         for i in range(64)
     ]
-    votes = hashed.groupBy(id_col).agg(*bit_votes)
+    votes = nib.groupBy(id_col).agg(*bit_votes)
     sim = F.lit(0).cast("long")
     for i in range(64):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(mask(i)).cast("long")).otherwise(F.lit(0))
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.lit(_simhash_mask(i)).cast("long")
+        ).otherwise(F.lit(0))
     return votes.select(id_col, sim.alias("simhash"))
 
 

@@ -86,6 +86,38 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return out.withColumn("lang_pred", pred)
 
 
+def score_with_model(
+    df: DataFrame,
+    model_factory,
+    out_schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_scorer=None,
+) -> DataFrame:
+    """Pluggable model-based scoring — the production path for real
+    quality/language models (fastText, KenLM, a distilled classifier) that
+    the heuristic `quality_score`/`lang_id` columns above deliberately are
+    NOT (they are oracle-portable dataflow skeletons, documented as such).
+
+    ``model_factory``: zero-arg callable returning the loaded model, called
+    once per executor partition (load .bin from a shared path / broadcast
+    bytes). ``batch_scorer(model, texts: pd.Series) -> pd.DataFrame`` maps
+    an Arrow batch of texts to score columns matching ``out_schema`` (minus
+    the id column, which is passed through). Arrow-batched mapInPandas —
+    never per-row Python.
+    """
+    import pandas as pd
+
+    def run(it):
+        model = model_factory()
+        for pdf in it:
+            scores = batch_scorer(model, pdf[text_col])
+            scores.insert(0, id_col, pdf[id_col].values)
+            yield scores
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable document fingerprint: sha256 of the text (rolling-hash
     shingle fingerprints live in dedup.minhash_signatures)."""

@@ -1,0 +1,263 @@
+"""Stage-level crawl behaviors: purge/re-crawl (S9/C4), max_duration (C2),
+fetch-time redirect budget, already_seen vs too_many_unique_links lineage
+attribution, and the per-URL event stream (C5)."""
+
+import datetime as dt
+
+import pytest
+
+from crawler_spark.config import CrawlConfig
+from crawler_spark.oracle.simulator import CrawlSimulator
+from crawler_spark.plans.crawl import SparkCrawler
+
+EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _rows(pages: dict) -> list[dict]:
+    return [
+        {
+            "url": u,
+            "warc_ts": EPOCH + dt.timedelta(seconds=i),
+            "html": h.encode() if isinstance(h, str) else h,
+            "text": "",
+            "lang": "en",
+        }
+        for i, (u, h) in enumerate(sorted(pages.items()))
+    ]
+
+
+def _page(links):
+    body = "".join(f'<a href="{h}">x</a>' for h in links)
+    return f"<html><head><title>t</title></head><body>word {body}</body></html>"
+
+
+def _write(spark, rows, path):
+    from crawler_spark.fixtures.gen import write_parquet
+
+    write_parquet(rows, path)
+    return spark.read.parquet(path)
+
+
+HOST = "https://p.test"
+
+
+def test_purge_recrawl_tombstones(spark, tmp_path):
+    """Crawl v1 {/, /a, /b, /c}; recrawl v2 where /b is gone and /c is
+    unlinked-but-alive: the purge stage must tombstone /b (re-fetch fails)
+    and retain /c (re-fetch succeeds), per coordinator.rb:96-115."""
+    v1 = {
+        f"{HOST}/": _page(["/a", "/b", "/c"]),
+        f"{HOST}/a": _page([]),
+        f"{HOST}/b": _page([]),
+        f"{HOST}/c": _page([]),
+    }
+    v2 = {
+        f"{HOST}/": _page(["/a"]),
+        f"{HOST}/a": _page([]),
+        f"{HOST}/c": _page([]),
+    }
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",))
+    state = str(tmp_path / "state")
+    p1 = _write(spark, _rows(v1), str(tmp_path / "v1.parquet"))
+    r1 = SparkCrawler(spark, cfg, p1, state, max_waves=10).run()
+    assert {r["url"] for r in r1.docs.collect()} == {
+        f"{HOST}/", f"{HOST}/a", f"{HOST}/b", f"{HOST}/c"}
+    assert r1.outcome == ("purge", "success",
+                          "Skipped purge crawl as no outdated documents were found.")
+
+    p2 = _write(spark, _rows(v2), str(tmp_path / "v2.parquet"))
+    r2 = SparkCrawler(spark, cfg, p2, state, max_waves=10, recrawl=True).run()
+    docs = {r["url"] for r in r2.docs.collect()}
+    assert docs == {f"{HOST}/", f"{HOST}/a", f"{HOST}/c"}
+    from crawler_spark.functions.urlnorm import url_sha1
+
+    assert {r["id"] for r in r2.purged.collect()} == {url_sha1(f"{HOST}/b")}
+    assert r2.outcome == ("purge", "success", "Completed the purge crawl.")
+    # re-crawl reset the seen set: only v2-reachable urls are seen
+    assert {r["norm_url"] for r in r2.seen.collect()} == {f"{HOST}/", f"{HOST}/a"}
+
+
+def test_purge_skipped_on_fresh_state(spark, tmp_path):
+    v1 = {f"{HOST}/": _page([])}
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",))
+    p1 = _write(spark, _rows(v1), str(tmp_path / "v.parquet"))
+    res = SparkCrawler(spark, cfg, p1, str(tmp_path / "st"), max_waves=5).run()
+    assert res.outcome[0] == "purge" and "Skipped" in res.outcome[2]
+    assert res.purged is None
+
+
+def test_max_duration_warning_outcome(spark, tmp_path):
+    """C2: a wall-clock budget of ~0 stops the loop with a :warning outcome
+    (coordinator.rb:290-302) while the wave-0 seed admission still lands."""
+    v1 = {f"{HOST}/": _page(["/a"]), f"{HOST}/a": _page(["/b"]), f"{HOST}/b": _page([])}
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), max_duration_s=1e-6,
+                      purge_crawl_enabled=False)
+    p1 = _write(spark, _rows(v1), str(tmp_path / "v.parquet"))
+    res = SparkCrawler(spark, cfg, p1, str(tmp_path / "st"), max_waves=10).run()
+    assert res.outcome[0] == "primary" and res.outcome[1] == "warning"
+    assert "taking too long" in res.outcome[2]
+    assert res.seen.count() == 1  # seeds admitted, no wave ran
+
+
+def test_redirect_chain_budget(spark, tmp_path):
+    """A chain of max_redirects+2 distinct redirects must stop at the
+    fetch-time budget (http_executor.rb:57-70) — engine ≡ simulator."""
+    n = 13
+    pages = {f"{HOST}/r{i}": f"<!--REDIRECT:/r{i + 1}-->" for i in range(n)}
+    pages[f"{HOST}/r{n}"] = _page([])
+    pages[f"{HOST}/"] = _page(["/r0"])
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), purge_crawl_enabled=False)
+    rows = _rows(pages)
+    p1 = _write(spark, rows, str(tmp_path / "v.parquet"))
+    res = SparkCrawler(spark, cfg, p1, str(tmp_path / "st"), max_waves=30).run()
+    sim = CrawlSimulator(rows, cfg).run()
+    spark_seen = {r["norm_url"] for r in res.seen.collect()}
+    assert spark_seen == set(sim.seen)
+    # the chain was cut: the tail of the chain is never admitted
+    assert f"{HOST}/r10" in spark_seen
+    assert f"{HOST}/r12" not in spark_seen and f"{HOST}/r{n}" not in spark_seen
+    # the final target never became a doc in either engine
+    assert not any(d["url"].endswith(f"/r{n}") for d in sim.docs)
+    assert res.docs.filter(f"url = '{HOST}/r{n}'").count() == 0
+
+
+def test_seen_vs_budget_deny_split(spark, tmp_path):
+    """F10/A3: with a budget smaller than the corpus, lineage must report
+    both `already_seen` (dups of admitted urls) and `too_many_unique_links`
+    (budget-capped), matching coordinator.rb:707-717 reasons."""
+    # /p0#f is a SAME-batch dup of /p0 → silently batch-deduped, no event
+    # in either engine. Each child page links /p0 again (cross-batch dup):
+    # before the budget fills mid-wave-2 those are already_seen; at and
+    # after the fill position the reference checks budget before seen, so
+    # they flip to too_many_unique_links — the engine replays that exact
+    # boundary via the last-admitted admission-order key.
+    pages = {f"{HOST}/": _page(["/p0", "/p0#f"] + [f"/p{i}" for i in range(1, 8)])}
+    for i in range(8):
+        pages[f"{HOST}/p{i}"] = _page([f"/q{i}", "/p0"])
+        pages[f"{HOST}/q{i}"] = _page([])
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), max_unique_url_count=12,
+                      purge_crawl_enabled=False)
+    rows = _rows(pages)
+    p1 = _write(spark, rows, str(tmp_path / "v.parquet"))
+    res = SparkCrawler(spark, cfg, p1, str(tmp_path / "st"), max_waves=10).run()
+    sim = CrawlSimulator(rows, cfg).run()
+    assert {r["norm_url"] for r in res.seen.collect()} == set(sim.seen)
+    reasons = {
+        r["deny_reason"]
+        for r in res.lineage.filter("deny_reason is not null").collect()
+    }
+    assert "already_seen" in reasons
+    assert "too_many_unique_links" in reasons
+    assert "already_seen_or_budget" not in reasons
+    # per-reason counts match the FIFO oracle
+    sim_counts = {}
+    for d in sim.denied:
+        sim_counts[d["deny_reason"]] = sim_counts.get(d["deny_reason"], 0) + 1
+    eng = res.lineage.filter("deny_reason is not null").groupBy("deny_reason").count()
+    eng_counts = {r["deny_reason"]: r["count"] for r in eng.collect()}
+    assert eng_counts.get("too_many_unique_links") == sim_counts.get("too_many_unique_links")
+    assert eng_counts.get("already_seen") == sim_counts.get("already_seen")
+
+
+def test_event_stream_reconciles(spark, tmp_path):
+    """C5: url-fetch events == frontier fetches, url-seed == seen set,
+    url-output == doc writes (event_generator.rb:135-246 actions)."""
+    pages = {f"{HOST}/": _page(["/a", "/b", "/missing"]),
+             f"{HOST}/a": _page(["/b"]), f"{HOST}/b": _page([])}
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), purge_crawl_enabled=False)
+    rows = _rows(pages)
+    p1 = _write(spark, rows, str(tmp_path / "v.parquet"))
+    res = SparkCrawler(spark, cfg, p1, str(tmp_path / "st"), max_waves=10).run()
+    sim = CrawlSimulator(rows, cfg).run()
+    ev = res.events
+    by_action = {r["action"]: r["count"]
+                 for r in ev.groupBy("action").count().collect()}
+    assert by_action["url-fetch"] == len(sim.fetches)
+    assert by_action["url-seed"] == res.seen.count()
+    assert by_action["url-output"] == len(sim.docs)
+    # fetch outcomes: the /missing url is a failure event
+    fails = {r["url"] for r in ev.filter(
+        "action = 'url-fetch' and outcome != 'success'").collect()}
+    assert f"{HOST}/missing" in fails
+
+
+def test_charset_decode_golden(spark, tmp_path):
+    """An ISO-8859-1 page behind the <!--CHARSET:...--> marker decodes to
+    the right unicode text (http_utils/response.rb:123-135); an unknown
+    label falls back to utf-8."""
+    latin = "café au lait résumé"
+    body = f"<html><head><title>L</title></head><body><p>{latin}</p></body></html>"
+    pages = {f"{HOST}/": _page(["/l1", "/bad"])}
+    rows = _rows(pages)
+    rows.append({
+        "url": f"{HOST}/l1",
+        "warc_ts": EPOCH,
+        "html": b"<!--CHARSET:iso-8859-1-->" + body.encode("iso-8859-1"),
+        "text": latin, "lang": "fr",
+    })
+    rows.append({
+        "url": f"{HOST}/bad",
+        "warc_ts": EPOCH,
+        "html": b"<!--CHARSET:no-such-enc-->" + body.encode("utf-8"),
+        "text": latin, "lang": "fr",
+    })
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), purge_crawl_enabled=False)
+    from crawler_spark.fixtures.gen import write_parquet
+
+    p = str(tmp_path / "v.parquet")
+    write_parquet(rows, p)
+    res = SparkCrawler(spark, cfg, spark.read.parquet(p),
+                       str(tmp_path / "st"), max_waves=5).run()
+    bodies = {r["url"]: r["body"] for r in res.docs.collect()}
+    assert bodies[f"{HOST}/l1"] == latin
+    assert bodies[f"{HOST}/bad"] == latin  # utf-8 fallback
+    sim = CrawlSimulator(rows, cfg).run()
+    sim_bodies = {d["url"]: d["body"] for d in sim.docs}
+    assert sim_bodies[f"{HOST}/l1"] == latin
+
+
+def test_robots_dimension_mode_matches_dict_mode(spark, corpus, crawl_config,
+                                                 pages_path, tmp_path):
+    """10^8-host path: robots rules as a DataFrame dimension joined by
+    host_key (threshold forced to 0) must reproduce the driver-dict crawl
+    exactly — same seen set, same robots denials, no robots broadcast."""
+    import dataclasses
+
+    cfg = dataclasses.replace(crawl_config, robots_dimension_threshold=0,
+                              purge_crawl_enabled=False)
+    pages = spark.read.parquet(pages_path)
+    crawler = SparkCrawler(spark, cfg, pages, str(tmp_path / "st"), max_waves=40)
+    res = crawler.run()
+    assert crawler.robots_bc is None and crawler.robots_dim is not None
+    rows, _ = corpus
+    sim = CrawlSimulator(rows, crawl_config).run()
+    assert {r["norm_url"] for r in res.seen.collect()} == set(sim.seen)
+    reasons = {r["deny_reason"] for r in
+               res.lineage.filter("deny_reason is not null").collect()}
+    assert "robots_txt_disallowed" in reasons and "rule_engine_denied" in reasons
+    # politeness delay column still populated from the dimension
+    assert res.seen.filter("crawl_delay_ms > 0").count() > 0
+
+
+def test_queue_full_strict_compat(spark, tmp_path):
+    """Strict-compat queue cap (memory_only.rb:37-49, coordinator.rb:631-644):
+    overflow admissions deny `queue_full`, are NOT marked seen, and get
+    re-discovered (and admitted) in a later wave."""
+    # root links p0..p5; each p_i links back to /p5 so the dropped tail is
+    # re-discoverable after the queue drains
+    pages = {f"{HOST}/": _page([f"/p{i}" for i in range(6)])}
+    for i in range(6):
+        pages[f"{HOST}/p{i}"] = _page(["/p5"])
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), url_queue_size_limit=3,
+                      purge_crawl_enabled=False)
+    rows = _rows(pages)
+    p1 = _write(spark, rows, str(tmp_path / "v.parquet"))
+    res = SparkCrawler(spark, cfg, p1, str(tmp_path / "st"), max_waves=10).run()
+    lin = res.lineage
+    qf = {r["norm_url"] for r in lin.filter("deny_reason = 'queue_full'").collect()}
+    # wave 1 admits p0,p1,p2 (cap 3), drops p3,p4,p5 as queue_full
+    assert qf == {f"{HOST}/p3", f"{HOST}/p4", f"{HOST}/p5"}
+    seen = {r["norm_url"] for r in res.seen.collect()}
+    # /p5 is re-discovered from p0..p2's links in wave 2 and admitted then
+    assert f"{HOST}/p5" in seen
+    assert f"{HOST}/p3" not in seen and f"{HOST}/p4" not in seen

@@ -176,3 +176,61 @@ def test_frame_sample_stub(spark):
     df2 = spark.createDataFrame([(3, bytearray(b"z" * 10050))], "asset_id long, payload binary")
     got2 = sorted(r.frame_idx for r in frame_sample_stub(df2, every_n=10).collect())
     assert got2 == list(range(0, 101, 10))
+
+
+def test_minhash_megabucket_no_quadratic_blowup(spark):
+    """1,000 identical docs land in one (band, band_key) bucket per band;
+    the bucket cap must emit star edges (N-1 pairs keeping the duplicate
+    cluster connected), never the ~500k all-pairs rows."""
+    from crawler_spark.textops.dedup import minhash_lsh_pairs
+
+    rows = [(i, "boiler plate text that repeats verbatim on every page") for i in range(1000)]
+    rows += [(10_000 + i, f"unique document number {i} with its own words here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, max_bucket=64).collect()
+    boiler = [p for p in pairs if p.id_a < 1000 and p.id_b < 1000]
+    # star edges: every dup doc links to the representative (min id = 0)
+    assert len(boiler) == 999
+    assert all(p.id_a == 0 for p in boiler)
+    assert {p.id_b for p in boiler} == set(range(1, 1000))
+    # small-bucket path still exact all-pairs: no unique-doc false pairs
+    uniq = [p for p in pairs if p.id_a >= 1000]
+    assert uniq == []
+
+
+def test_minhash_small_buckets_unchanged_by_cap(spark):
+    """With no mega-buckets the capped operator equals the naive all-pairs
+    band join."""
+    from crawler_spark.textops.dedup import minhash_lsh_pairs
+
+    rows = [(i, f"doc {i % 7} shared shingle stream alpha beta gamma") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(p.id_a, p.id_b) for p in minhash_lsh_pairs(df, max_bucket=64).collect()}
+    uncapped = {(p.id_a, p.id_b) for p in minhash_lsh_pairs(df, max_bucket=10**9).collect()}
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_score_with_model_pluggable(spark, docs):
+    """The mapInPandas model-scorer hook: per-partition model load, Arrow
+    batch scoring (deterministic fake model standing in for fastText)."""
+    import pandas as pd
+
+    from crawler_spark.textops.textstats import score_with_model
+
+    def factory():
+        return {"weights": 0.5}  # stands in for loading a .bin model
+
+    def scorer(model, texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "model_quality": texts.str.len() * model["weights"],
+            "model_lang": texts.str.contains(" the ").map({True: "en", False: "other"}),
+        })
+
+    out = score_with_model(
+        docs, factory, "doc_id long, model_quality double, model_lang string",
+        batch_scorer=scorer,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    one = docs.limit(1).collect()[0]
+    assert rows[one.doc_id].model_quality == len(one.text) * 0.5
