@@ -214,8 +214,14 @@ class SparkCrawler:
             denied = denied.unionByName(
                 queue_dropped.select(*denied.columns), allowMissingColumns=False
             )
-        admitted = admitted.cache()
-        self._wave_caches.append(admitted)
+        if self.config.lineage_enabled:
+            # with lineage on, admitted feeds the seen write AND the
+            # lineage/events/K* consumers → cache; with lineage off the
+            # seen write is its only consumer and caching a wave-sized
+            # DataFrame just burns heap (measured: 3M-row waves thrash a
+            # 24g heap and the seen write anti-scales 10×)
+            admitted = admitted.cache()
+            self._wave_caches.append(admitted)
         # already-seen vs budget attribution for lineage, replaying the
         # reference's per-URL order exactly (coordinator.rb:566-592,
         # 707-717):

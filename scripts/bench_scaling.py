@@ -27,8 +27,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUN_SNIPPET = """
-import sys, json, time, tempfile
+import os, sys, json, time, tempfile
 sys.path.insert(0, {repo!r})
+# wave-sized state (3M+ frontier rows in flight at 4M pages) needs heap
+# headroom beyond the 24g default; both levels get the identical setting
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 from crawler_spark.session import get_spark
 from crawler_spark.config import CrawlConfig
 from crawler_spark.plans.crawl import SparkCrawler
