@@ -56,6 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from crawler_spark.textops.dedup import (
+        chunk_dedup,
         exact_dedup_groups,
         minhash_lsh_pairs,
         minhash_signatures,
@@ -280,6 +281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return frame_sample_stub(docs, every_n=10)
 
+    def para_dedup(spark, sf):
+        # paragraph-level exact dedup (token-chunk pseudo-paragraphs),
+        # keep-first semantics, per-doc dup rollup
+        return chunk_dedup(_t(spark, sf, "documents"), chunk_tokens=16)
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -310,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": winnow,
         "simhash_hamming": simhash_hamming,
         "mm_frame_sample": mm_frame_sample,
+        "paragraph_dedup": para_dedup,
     }
 
 
@@ -688,4 +695,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "lsh_ann_topk": _lsh_ann_sql(),
+        "paragraph_dedup": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            c AS (
+              SELECT doc_id,
+                     [md5(array_to_string(
+                        tk[CAST(i*16+1 AS INT):CAST(i*16+16 AS INT)], ' '))
+                      for i in range(0, CAST(ceil(len(tk)/16.0) AS INT))] AS fps
+              FROM t),
+            occ AS (
+              SELECT doc_id, generate_subscripts(fps, 1) - 1 AS chunk_idx,
+                     unnest(fps) AS fp
+              FROM c),
+            ranked AS (
+              SELECT doc_id, chunk_idx,
+                     row_number() OVER (
+                       PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+              FROM occ)
+            SELECT doc_id, count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_chunks,
+                   round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 4)
+                     AS dup_ratio
+            FROM ranked GROUP BY doc_id
+        """,
     }

@@ -38,6 +38,7 @@ HEADLINE = [
     "simhash",
     "ann_topk",
     "multimodal_meta",
+    "paragraph_dedup",
 ]
 
 
@@ -129,8 +130,8 @@ def main():
                                "BENCH", "scaling.json")) as f:
             s = json.load(f)
         scaling = {k: s[k] for k in
-                   ("corpus_pages", "n_cores", "xn_cores", "n", "xn",
-                    "scaling_efficiency") if k in s}
+                   ("corpus_pages", "n_cores", "xn_cores", "pinned", "n", "xn",
+                    "scaling_efficiency", "target", "pass") if k in s}
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     print(

@@ -93,6 +93,46 @@ def ordered_global_rank(
     ), acc
 
 
+def inplan_global_rank(
+    df: DataFrame, num_buckets: int, seq_span: tuple[int, int]
+) -> DataFrame:
+    """Collect-free variant of :func:`ordered_global_rank`: the per-bucket
+    cumulative offsets are computed INSIDE the plan — a ≤``num_buckets``-row
+    aggregate, offset by a tiny ordered window, broadcast-joined back — so
+    the whole admission chain is ONE job with nothing wave-sized pinned on
+    the heap.
+
+    The one explicit ``repartition(_bkt)`` exchange is shared by both
+    consumers (the rank window and the bucket-count aggregate, each of which
+    needs HashPartitioning(_bkt) and therefore reuses the exchange), so the
+    expensive upstream — gate UDF, wave-dedup window, seen anti-join —
+    executes exactly once. This replaced a ``deduped.cache()`` + driver
+    ``collect()`` design whose wave-sized deserialized cache thrashed the
+    heap and anti-scaled the seen write at 4N cores.
+    """
+    mn, span = seq_span[0], max(1, seq_span[1] - seq_span[0])
+    bkt = F.least(
+        F.lit(num_buckets - 1),
+        ((F.col("parent_seq") - F.lit(mn)) * num_buckets / F.lit(span)).cast("int"),
+    )
+    pre = df.withColumn("_bkt", bkt).repartition(F.col("_bkt"))
+    w_local = Window.partitionBy("_bkt").orderBy(*_admission_order())
+    ranked = pre.withColumn("_lrank", F.row_number().over(w_local))
+    counts = pre.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(F.lit(0)).orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(offsets.select("_bkt", "_off")), on="_bkt")
+        .withColumn("_rank", (F.col("_off") + F.col("_lrank")).cast("long"))
+        .drop("_bkt", "_lrank", "_off")
+    )
+
+
 def admit(
     allowed: DataFrame,
     seen: DataFrame | None,
@@ -102,7 +142,8 @@ def admit(
     num_buckets: int = 32,
     cache_tracker: list | None = None,
     queue_space: int | None = None,
-) -> tuple[DataFrame, int, DataFrame | None]:
+    defer_count: bool = False,
+) -> tuple[DataFrame, int | None, DataFrame | None]:
     """Full admission pipeline → (admitted rows with final ``seq``, count,
     queue-dropped rows).
 
@@ -123,18 +164,29 @@ def admit(
     can re-discover them — the wave-granularity equivalent of the
     reference's drop-and-unsee. None = unbounded (the frontier-as-table
     design has no in-memory queue to protect).
+
+    ``defer_count=True`` (the lineage-off perf path): rank via
+    :func:`inplan_global_rank` — no driver collect, no wave-sized cache,
+    the whole chain is one job — and return ``n = None``; the caller reads
+    the admitted count from the seen write's parquet footers (the local
+    stand-in for an Iceberg snapshot's ``total-records``).
     """
     deduped = wave_dedup(allowed)
     if seen is not None:
         deduped = deduped.join(seen.select("url_hash"), on="url_hash", how="left_anti")
-    deduped = deduped.cache()
-    if cache_tracker is not None:
-        cache_tracker.append(deduped)
     budget_left = max(0, max_unique - seen_count)
     cap = budget_left if queue_space is None else min(budget_left, max(0, queue_space))
-    ranked, total = ordered_global_rank(
-        deduped, num_buckets=num_buckets, seq_span=(0, seq_base + 1)
-    )
+    if defer_count:
+        ranked, total = inplan_global_rank(
+            deduped, num_buckets=num_buckets, seq_span=(0, seq_base + 1)
+        ), None
+    else:
+        deduped = deduped.cache()
+        if cache_tracker is not None:
+            cache_tracker.append(deduped)
+        ranked, total = ordered_global_rank(
+            deduped, num_buckets=num_buckets, seq_span=(0, seq_base + 1)
+        )
     admitted = ranked.filter(F.col("_rank") <= cap)
     admitted = admitted.withColumn(
         "seq", (F.col("_rank") + F.lit(seq_base)).cast("long")
@@ -146,4 +198,4 @@ def admit(
             .drop("_rank")
             .withColumn("deny_reason", F.lit("queue_full"))
         )
-    return admitted, min(total, cap), dropped
+    return admitted, (None if total is None else min(total, cap)), dropped

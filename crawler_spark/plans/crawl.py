@@ -202,11 +202,16 @@ class SparkCrawler:
             self._wave_caches.append(gated)
         denied = gated.filter(F.col("deny_reason").isNotNull())
         allowed = gated.filter(F.col("deny_reason").isNull())
+        # lineage off = the perf path: collect-free in-plan rank, no
+        # wave-sized cache, one job per admission; n_adm is read from the
+        # seen write's parquet footers by the caller (store.row_count)
+        defer = not self.config.lineage_enabled
         admitted, n_adm, queue_dropped = admit(
             allowed, seen, seen_count, self.config.max_unique_url_count, seq_base,
             num_buckets=int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
             cache_tracker=self._wave_caches,
             queue_space=self.config.url_queue_size_limit,
+            defer_count=defer,
         )
         if queue_dropped is not None:
             # strict-compat queue cap: dropped rows surface as queue_full
@@ -214,6 +219,10 @@ class SparkCrawler:
             denied = denied.unionByName(
                 queue_dropped.select(*denied.columns), allowMissingColumns=False
             )
+        if defer:
+            # the already_seen/budget attribution below exists only for the
+            # lineage table; without it the seen write is the sole consumer
+            return denied, None, admitted, None
         if self.config.lineage_enabled:
             # with lineage on, admitted feeds the seen write AND the
             # lineage/events/K* consumers → cache; with lineage off the
@@ -356,6 +365,8 @@ class SparkCrawler:
             # the seen table rows ARE frontier rows (full columns): one
             # write serves both the dedup anti-join and the next wave
             pend_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
+            if n_adm is None:
+                n_adm = self.store.row_count(pend_path)
             frontier = self.spark.read.parquet(pend_path)
             if cfg.lineage_enabled:
                 self.store.append("lineage", self._lineage(denied, wave, False).unionByName(
@@ -446,6 +457,8 @@ class SparkCrawler:
             # next frontier: the seen table stores full frontier columns and
             # the anti-join probe prunes to url_hash at the parquet scan
             seen_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
+            if n_adm is None:
+                n_adm = self.store.row_count(seen_path)
             _mark("seen_merge")
             if cfg.lineage_enabled:
                 self.store.append(

@@ -61,6 +61,20 @@ class StateStore:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def row_count(self, path: str) -> int:
+        """Exact row count from parquet footers — a driver-local metadata
+        read, no Spark job. The local stand-in for an Iceberg snapshot
+        summary's ``total-records`` (which a production MERGE commit
+        publishes for free)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
     def reset(self, name: str):
         """Drop a state table (re-crawl resets the per-run seen set while
         the docs/parsed history persists for the purge stage)."""

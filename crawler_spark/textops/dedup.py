@@ -235,3 +235,46 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def chunk_dedup(
+    df: DataFrame, chunk_tokens: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Paragraph-level exact dedup with keep-first semantics (the standard
+    LLM-corpus pass that strips boilerplate paragraphs repeated across pages).
+
+    Real pipelines split on blank lines; the single-space test corpus has no
+    newlines, so the paragraph boundary here is every ``chunk_tokens`` tokens
+    — the dataflow is identical: chunk → hash → first-owner → per-doc rollup.
+    A chunk occurrence is a duplicate unless it is the globally first
+    occurrence of its hash, ordered by (doc_id, chunk_idx). Returns one row
+    per doc: (doc_id, n_chunks, n_dup_chunks, dup_ratio).
+
+    Scale notes: chunking is pure higher-order functions inside the scan's
+    codegen (no explode-then-groupBy reassembly shuffle). First-owner uses
+    min(struct(doc_id, chunk_idx)) — a hash aggregate with map-side partial
+    combine, so a boilerplate chunk repeated 10^9 times costs one row per
+    map task, never a hot window partition. Two shuffles total (first-owner
+    agg + join back on fp); the join key fp is md5 — uniformly distributed,
+    AQE handles any residual skew.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " ")),
+    )
+    occ = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "fp"))
+    firsts = occ.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("c"))).alias("first")
+    )
+    marked = occ.join(firsts, "fp").withColumn(
+        "dup",
+        (~((F.col(id_col) == F.col("first.d")) & (F.col("chunk_idx") == F.col("first.c"))))
+        .cast("int"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("dup").alias("n_dup_chunks"),
+        F.round(F.sum("dup") / F.count("*"), 4).alias("dup_ratio"),
+    )

@@ -83,19 +83,81 @@ def ensure_corpus(n_pages: int) -> tuple[str, int]:
     return path, n_hosts
 
 
-def run_level(corpus: str, n_hosts: int, cores: int) -> dict:
+def _leg_cmd(corpus: str, n_hosts: int, cores: int, pin: bool,
+             cpu_set: str | None = None) -> list[str]:
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, corpus=corpus, n_hosts=n_hosts)
-    t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
-    for line in proc.stdout.splitlines():
+    # Pin the WHOLE process tree (python driver, JVM incl. GC/compiler/netty
+    # threads, pyspark daemon workers) to exactly `cores` CPUs. Without the
+    # pin, the small leg's auxiliary threads and Python workers spill onto
+    # the machine's idle cores — a "1-core" run really consumes 2-3 cores,
+    # inflating its throughput and corrupting the N->4N efficiency ratio.
+    # An N-core cluster grants N cores for EVERYTHING; taskset reproduces
+    # that contract on the one-box sandbox.
+    cmd = [sys.executable, "-c", code]
+    if pin:
+        cpus = cpu_set or ("0" if cores == 1 else f"0-{cores - 1}")
+        cmd = ["taskset", "-c", cpus] + cmd
+    return cmd
+
+
+def _parse_result(stdout: str, stderr: str, cores: int, wall_s: float) -> dict:
+    for line in stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             out = json.loads(line[len("SCALING_RESULT "):])
-            out["wall_s"] = round(time.time() - t0, 1)
+            out["wall_s"] = round(wall_s, 1)
             return out
-    sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+    sys.stderr.write(stdout[-2000:] + "\n" + stderr[-4000:] + "\n")
     raise RuntimeError(f"no result from cores={cores}")
+
+
+def run_level(corpus: str, n_hosts: int, cores: int, pin: bool = True) -> dict:
+    cmd = _leg_cmd(corpus, n_hosts, cores, pin)
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
+    return _parse_result(proc.stdout, proc.stderr, cores, time.time() - t0)
+
+
+def run_concurrent(corpus: str, n_hosts: int, n: int, xn: int) -> dict:
+    """Run the two levels SIMULTANEOUSLY on disjoint pinned CPU sets.
+
+    The sandbox hypervisor's deliverable per-core speed drifts ~1.7x over
+    tens of minutes, so two sequential legs measure host weather, not the
+    engine. Running both levels at once on disjoint CPUs (N on cpu 0..n-1,
+    4N on cpu n..n+xn-1) exposes them to the IDENTICAL weather window —
+    exactly the control a real two-cluster comparison has when both
+    clusters run the job at the same time. The fast (4N) leg loops
+    back-to-back reps until the slow (N) leg finishes, so its reps tile
+    the same wall window; per-level MIN elapsed feeds the ratio.
+    """
+    n_cmd = _leg_cmd(corpus, n_hosts, n, True, cpu_set="0" if n == 1 else f"0-{n-1}")
+    xn_cmd = _leg_cmd(corpus, n_hosts, xn, True, cpu_set=f"{n}-{n + xn - 1}")
+    print(f"=== concurrent: local[{n}] on cpu 0-{n-1} | local[{xn}] on "
+          f"cpu {n}-{n+xn-1}", flush=True)
+    # two driver JVMs coexist on the 128 GiB box: 40g heap each (vs 48g
+    # solo) keeps headroom for python workers + OS page cache
+    env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get(
+        "SPARK_DRIVER_MEMORY", "40g"))
+    t0 = time.time()
+    slow = subprocess.Popen(n_cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, env=env)
+    xn_reps = []
+    while True:
+        r0 = time.time()
+        fast = subprocess.run(xn_cmd, capture_output=True, text=True,
+                              timeout=5400, env=env)
+        r = _parse_result(fast.stdout, fast.stderr, xn, time.time() - r0)
+        r["window_s"] = [round(r0 - t0, 1), round(time.time() - t0, 1)]
+        xn_reps.append(r)
+        print(f"local[{xn}] rep {len(xn_reps)}: {r['elapsed_s']}s "
+              f"({r['pages_per_sec']} pages/s), window {r['window_s']}", flush=True)
+        if slow.poll() is not None:
+            break
+    out, err = slow.communicate(timeout=60)
+    n_res = _parse_result(out, err, n, time.time() - t0)
+    n_res["window_s"] = [0.0, round(time.time() - t0, 1)]
+    print(f"local[{n}]: {n_res['elapsed_s']}s ({n_res['pages_per_sec']} pages/s)",
+          flush=True)
+    return {"n": n_res, "xn_reps": xn_reps}
 
 
 def main():
@@ -112,6 +174,18 @@ def main():
              "weather, not the engine; the min across interleaved reps "
              "estimates both levels on the uncontended machine — the "
              "regime a dedicated N / 4N-executor cluster actually has.")
+    ap.add_argument(
+        "--no-pin", action="store_true",
+        help="disable taskset CPU pinning of each leg (pinning is the "
+             "default: it makes local[N] a true N-core budget for the whole "
+             "process tree, the contract an N-core cluster provides)")
+    ap.add_argument(
+        "--concurrent", action="store_true",
+        help="run the two levels SIMULTANEOUSLY on disjoint pinned CPU "
+             "sets so both see the identical host-weather window (the "
+             "control a real side-by-side two-cluster run has). The 4N leg "
+             "loops reps until the N leg finishes; reps fully inside the N "
+             "window feed the per-level min.")
     ap.add_argument(
         "--extend", action="store_true",
         help="merge this invocation's reps into the existing "
@@ -134,15 +208,25 @@ def main():
                     reps[lvl].append(d)
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
             pass
-    for rep in range(args.reps):
-        for cores in (args.n, args.xn):
-            print(f"=== rep {rep + 1}/{args.reps} local[{cores}] ...", flush=True)
-            r = run_level(corpus, n_hosts, cores)
-            reps[cores].append(r)
-            print(
-                f"local[{cores}]: {r['elapsed_s']}s, {r['pages_per_sec']} pages/s, "
-                f"{r['dedup_urls_per_sec']} dedup urls/s, {r['waves']} waves"
-            )
+    if args.concurrent:
+        for rep in range(args.reps):
+            cc = run_concurrent(corpus, n_hosts, args.n, args.xn)
+            reps[args.n].append(cc["n"])
+            # the final 4N rep ends after the N leg exits (its tail runs
+            # under lighter contention) — exclude it from the min unless
+            # it is the only one
+            usable = cc["xn_reps"][:-1] if len(cc["xn_reps"]) > 1 else cc["xn_reps"]
+            reps[args.xn].extend(usable)
+    else:
+        for rep in range(args.reps):
+            for cores in (args.n, args.xn):
+                print(f"=== rep {rep + 1}/{args.reps} local[{cores}] ...", flush=True)
+                r = run_level(corpus, n_hosts, cores, pin=not args.no_pin)
+                reps[cores].append(r)
+                print(
+                    f"local[{cores}]: {r['elapsed_s']}s, {r['pages_per_sec']} pages/s, "
+                    f"{r['dedup_urls_per_sec']} dedup urls/s, {r['waves']} waves"
+                )
     for cores, rlist in reps.items():
         results[cores] = min(rlist, key=lambda r: r["elapsed_s"])
 
@@ -153,6 +237,8 @@ def main():
         "corpus_pages": lo["fetched_pages"],
         "n_cores": args.n,
         "xn_cores": args.xn,
+        "pinned": not args.no_pin,
+        "concurrent": args.concurrent,
         "reps": args.reps,
         "rep_elapsed_s": {
             str(c): sorted(

@@ -173,3 +173,24 @@ def test_extraction_rules_fields(sim_result, spark_result):
     if other:
         ef1 = spark_docs[other[0]]["extra_fields"] or {}
         assert "origin" not in ef1
+
+
+def test_lineage_off_perf_path_identical(
+    spark, crawl_config, pages_path, sim_result, tmp_path_factory
+):
+    """The lineage-off admission path (collect-free in-plan rank, no
+    wave-sized cache, n_adm from parquet footers) must admit the exact
+    same seen set in the exact same FIFO seq order as the lineage-on path
+    pinned above against the simulator."""
+    import dataclasses
+
+    state = tmp_path_factory.mktemp("state_nolineage")
+    cfg = dataclasses.replace(crawl_config, lineage_enabled=False)
+    pages = spark.read.parquet(pages_path)
+    res = SparkCrawler(spark, cfg, pages, str(state), max_waves=40).run()
+    got = {r["norm_url"]: r for r in res.seen.collect()}
+    assert set(got) == set(sim_result.seen)
+    for url, rec in sim_result.seen.items():
+        assert got[url]["seq"] == rec["seq"], f"seq mismatch for {url}"
+    # the lineage table must NOT have been written on the perf path
+    assert res.lineage is None or res.lineage.rdd.isEmpty()

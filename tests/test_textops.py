@@ -234,3 +234,24 @@ def test_score_with_model_pluggable(spark, docs):
     assert len(rows) == docs.count()
     one = docs.limit(1).collect()[0]
     assert rows[one.doc_id].model_quality == len(one.text) * 0.5
+
+
+def test_chunk_dedup_keep_first(spark):
+    from crawler_spark.textops.dedup import chunk_dedup
+
+    # chunk_tokens=2: doc 0 = [a b][c d], doc 1 = [a b][a b], doc 2 = [c d][x]
+    rows = [
+        (0, "a b c d"),
+        (1, "a b a b"),
+        (2, "c d x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in chunk_dedup(df, chunk_tokens=2).collect()}
+    # doc 0 owns both chunks (first occurrence)
+    assert (out[0].n_chunks, out[0].n_dup_chunks) == (2, 0)
+    # doc 1: both chunks duplicate "a b" (one of doc 0, one within-doc)
+    assert (out[1].n_chunks, out[1].n_dup_chunks) == (2, 2)
+    assert out[1].dup_ratio == 1.0
+    # doc 2: "c d" duplicates doc 0's second chunk; trailing "x" is unique
+    assert (out[2].n_chunks, out[2].n_dup_chunks) == (2, 1)
+    assert out[2].dup_ratio == 0.5
