@@ -57,6 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from crawler_spark.textops.dedup import (
         chunk_dedup,
+        dedup_keep_best,
+        dup_cluster_assign,
         exact_dedup_groups,
         minhash_lsh_pairs,
         minhash_signatures,
@@ -286,6 +288,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep-first semantics, per-doc dup rollup
         return chunk_dedup(_t(spark, sf, "documents"), chunk_tokens=16)
 
+    def dup_cluster(spark, sf):
+        # near-dup LSH pairs → connected components (large-star/small-star)
+        # → per-doc cluster id + canonical flag
+        return dup_cluster_assign(_t(spark, sf, "documents"))
+
+    def keep_best(spark, sf):
+        # full prune pipeline: clusters → keep argmax-quality per cluster
+        return dedup_keep_best(_t(spark, sf, "documents"))
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -317,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": simhash_hamming,
         "mm_frame_sample": mm_frame_sample,
         "paragraph_dedup": para_dedup,
+        "dup_clusters": dup_cluster,
+        "dedup_keep_best": keep_best,
     }
 
 
@@ -582,6 +595,52 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": f"""
             WITH {_MINHASH_CTES}
             SELECT id_a, id_b FROM lsh_pairs
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+            labels AS (SELECT u AS doc_id, min(r) AS cluster_id
+                       FROM reach GROUP BY u),
+            q AS (
+              SELECT doc_id,
+                     round(CASE WHEN length(text) >= 100 AND length(text) <= 10000
+                                THEN 0.5 ELSE 0.0 END
+                           + least(round({_STOP} / ({_TOKENS}), 4) * 2, 0.5), 4)
+                       AS quality
+              FROM documents),
+            assign AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                     q.quality
+              FROM documents d
+              LEFT JOIN labels l ON d.doc_id = l.doc_id
+              JOIN q ON q.doc_id = d.doc_id)
+            SELECT doc_id, cluster_id, quality,
+                   (row_number() OVER (
+                      PARTITION BY cluster_id
+                      ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+            FROM assign
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+            labels AS (SELECT u AS doc_id, min(r) AS cluster_id
+                       FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                   (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

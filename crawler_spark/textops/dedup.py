@@ -237,6 +237,137 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """Connected components over candidate-duplicate pairs → (node, cluster).
+
+    Turns pairwise near-dup evidence (LSH / simhash / cosine pairs) into
+    duplicate CLUSTERS so the pipeline can keep one representative per
+    cluster — the step between candidate generation and corpus pruning.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", ACM SoCC 2014): each round is two
+    groupBy-join passes that point nodes at the minimum of their
+    neighborhood; converges in O(log²) rounds on any graph shape — no
+    O(diameter) label chasing, no driver-side graph. Each round
+    ``localCheckpoint``s the edge set to cut the growing lineage, and the
+    convergence probe (edge multiset unchanged) is a 2-row aggregate.
+
+    Returns one row per node that appears in ``pairs``:
+    ``(node, cluster)`` where cluster = min node id of its component.
+    """
+
+    def _min_star(sym: DataFrame, keep_larger: bool) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}); emit (v, m) for the selected neighbors
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        sel = sym.filter(F.col("v") > F.col("u")) if keep_larger else sym.filter(
+            F.col("v") <= F.col("u")
+        )
+        out = sel.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not keep_larger:
+            # small-star also re-links u itself to m
+            out = out.unionByName(m.select("u", F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ls = _min_star(sym, keep_larger=True)
+        ls_sym = ls.unionByName(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e = _min_star(ls_sym, keep_larger=False)
+        e = e.localCheckpoint(eager=True)
+        # edge-set signature: count + xor of per-edge hashes (the edge set
+        # is distinct, so xor is an exact order-independent set fingerprint
+        # — and unlike sum it cannot overflow under ANSI mode)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # converged: every edge is (node → component min); add the roots
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("v").alias("cluster"))
+        )
+        .distinct()
+    )
+
+
+def dup_cluster_assign(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign EVERY document a duplicate-cluster id + canonical flag.
+
+    ``cluster_id`` = min doc id of the near-dup component (the doc's own id
+    when it has no near-dups); ``is_canonical`` marks the one row per
+    cluster a dedup pass would keep. Candidates default to the salted
+    MinHash-LSH pairs. The labels side is |nodes-in-pairs| — tiny relative
+    to the corpus — so the final join broadcasts."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col)
+    labels = dup_clusters(pairs)
+    return (
+        df.select(id_col)
+        .join(
+            F.broadcast(labels.withColumnRenamed("node", id_col)),
+            on=id_col, how="left",
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .withColumn("is_canonical", (F.col(id_col) == F.col("cluster_id")))
+        .select(id_col, "cluster_id", "is_canonical")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    quality: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus-prune pipeline: near-dup clusters → keep the
+    HIGHEST-QUALITY document per cluster (not the arbitrary min-id one).
+
+    The composition a training-data pipeline actually runs: LSH candidates
+    → connected components → per-cluster argmax on a quality score
+    (ties break to the smaller id for determinism). ``quality`` defaults to
+    :func:`..textstats.quality_score`; pass any (id, quality) frame to use
+    a model-based scorer. The per-cluster window partitions on cluster_id —
+    cluster sizes are bounded by dup-group sizes, never corpus-sized.
+
+    Returns (id, cluster_id, quality, keep).
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    assign = dup_cluster_assign(df, pairs=pairs, text_col=text_col, id_col=id_col)
+    q = (quality if quality is not None else quality_score(df, text_col, id_col)).select(
+        id_col, "quality"
+    )
+    joined = assign.join(q, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("keep", F.col("_rn") == 1)
+        .select(id_col, "cluster_id", "quality", "keep")
+    )
+
+
 def chunk_dedup(
     df: DataFrame, chunk_tokens: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

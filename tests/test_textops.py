@@ -255,3 +255,76 @@ def test_chunk_dedup_keep_first(spark):
     # doc 2: "c d" duplicates doc 0's second chunk; trailing "x" is unique
     assert (out[2].n_chunks, out[2].n_dup_chunks) == (2, 1)
     assert out[2].dup_ratio == 0.5
+
+
+def test_dup_clusters_matches_union_find(spark):
+    from crawler_spark.textops.dedup import dup_clusters
+
+    # 5-node chain (worst case for naive label chasing), triangle, pair,
+    # duplicate + self edges for robustness
+    pairs = [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21), (2, 1), (7, 7)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = {r.node: r.cluster for r in dup_clusters(df).collect()}
+
+    # union-find reference (union-by-min → root IS the component minimum)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    assert out == expect
+
+
+def test_dup_cluster_assign_canonicals(spark):
+    from crawler_spark.textops.dedup import dup_cluster_assign
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "totally different words here entirely unrelated"),
+        (4, "alpha beta gamma delta epsilon zeta"),  # another dup
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dup_cluster_assign(df).collect()
+    }
+    assert len(out) == 4
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (3, True)
+    assert out[4] == (1, False)
+
+
+def test_dedup_keep_best_quality_argmax(spark):
+    from crawler_spark.textops.dedup import dedup_keep_best
+
+    # cluster {1,2,4} (exact dups), singleton 3; external quality ranks 4 top
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "totally different words here entirely unrelated"),
+        (4, "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.1), (4, 0.9)], ["doc_id", "quality"]
+    )
+    out = {r.doc_id: r for r in dedup_keep_best(df, quality=quality).collect()}
+    assert len(out) == 4
+    # tie at 0.9 between 2 and 4 → smaller id kept
+    assert [out[i].keep for i in (1, 2, 3, 4)] == [False, True, True, False]
+    assert {out[i].cluster_id for i in (1, 2, 4)} == {1}
+    assert out[3].cluster_id == 3
