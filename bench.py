@@ -9,7 +9,13 @@ Two parts:
    frontier-dedup URLs/sec — the BASELINE.json metric.
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-     BENCH_CORPUS_PAGES (default 60000), BENCH_SKIP_CRAWL=1 to skip part 2.
+     BENCH_CORPUS_PAGES (default 500000), BENCH_SKIP_CRAWL=1 to skip part 2.
+
+The crawl corpus default is 500k pages: at 60k the ~25 s session floor
+(python-worker spawn, JIT, robots/prep) dominates and the recorded number
+measures overhead, not the engine (60k → 1,608 pages/s vs 500k → 7,915
+on the identical engine, local[32]). corpus_pages is reported so runs at
+different sizes are never compared blind.
 """
 
 from __future__ import annotations
@@ -104,7 +110,7 @@ def bench_crawl(spark, n_pages_target: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_CORPUS_PAGES", "60000"))
+    n_pages = int(os.environ.get("BENCH_CORPUS_PAGES", "500000"))
 
     from crawler_spark.session import get_spark
 
