@@ -85,6 +85,7 @@ def minhash_lsh_pairs(
     never becomes a join blow-up).
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, n_hashes, gram, text_col, id_col)
@@ -99,7 +100,16 @@ def minhash_lsh_pairs(
         )
     )
     w = Window.partitionBy("band", "band_key")
-    sized = bandkeys.withColumn("bsz", F.count("*").over(w))
+    # materialize the signature chain ONCE: the bucket-size window and BOTH
+    # sides of the band self-join consume `sized`, and their differently-
+    # pruned/aliased subtrees defeat Catalyst's ReuseExchange — without the
+    # persist the grams→minhash→band aggregation (the expensive part:
+    # |docs|×|shingles|×n_hashes) is recomputed four times (verified via
+    # explain("formatted")). |docs|×bands small rows, disk-spillable — the
+    # standard LSH materialization point at corpus scale.
+    sized = bandkeys.withColumn("bsz", F.count("*").over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     small = sized.filter(F.col("bsz") <= max_bucket)
     a = small.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = small.select(F.col(id_col).alias("id_b"), "band", "band_key")
@@ -212,10 +222,16 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs (verification stage after
     LSH): |A∩B| / |A∪B| on distinct shingles. If no candidate set is given,
     uses LSH candidates — never the full cross product."""
+    from pyspark.storagelevel import StorageLevel
+
     if candidates is None:
         candidates = minhash_lsh_pairs(df, gram=gram, text_col=text_col, id_col=id_col)
+    # both join sides (ga/gb) and the per-doc size aggregate consume the
+    # shingle set — persist so the explode+distinct shuffle runs once
     grams = (
-        df.select(F.col(id_col), F.explode(_grams_col(text_col, gram)).alias("g")).distinct()
+        df.select(F.col(id_col), F.explode(_grams_col(text_col, gram)).alias("g"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ga = grams.withColumnRenamed(id_col, "id_a")
     gb = grams.withColumnRenamed(id_col, "id_b")
@@ -274,6 +290,9 @@ def dup_clusters(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # the candidate-pair plan (often an LSH join) is consumed several
+        # times by round 1's star passes — materialize it once up front
+        .localCheckpoint(eager=True)
     )
     prev_sig = None
     for _ in range(max_iters):
