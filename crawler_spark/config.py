@@ -41,6 +41,10 @@ class CrawlConfig:
     max_indexed_links_count: int = 25
     max_headings_count: int = 25
     sitemap_discovery_disabled: bool = False
+    # include the page's full HTML in the doc (config.rb:65,208,
+    # document_mapper.rb:76). The reference stores the jsoup-reserialized
+    # DOM; here it is the decoded source HTML — same opt-in, same field
+    full_html_extraction_enabled: bool = False
     # binary downloads (config.rb binary_content_extraction_*): when
     # enabled, pages marked <!--MIME:type--> with an allowed type become
     # base64 _attachment docs; others are unsupported content (no doc)

@@ -133,16 +133,26 @@ def make_resolver(base_url: str):
     return resolve
 
 
+# Addressable::URI rejects malformed percent-escapes; urljoin does not —
+# mirror the rejection so an invalid <base href> falls back to the page URL
+_BAD_ESCAPE_RE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
 def compute_base_url(doc, page_url: str) -> str:
-    """html.rb:53-71: first <base href>, possibly relative (completed with
-    the page's site), else the page URL."""
+    """html.rb:53-71: the FIRST <base> element carrying an href attribute
+    decides (jsoup ``base[href]`` selector) — later base tags are never
+    consulted, so an empty or unparseable href falls back to the page URL.
+    A relative href completes against the page's site; whitespace is
+    stripped."""
     for el in doc.iter_elements("base"):
-        href = el.attrs.get("href", "").strip()
-        if href:
+        if "href" not in el.attrs:
+            continue
+        href = (el.attrs.get("href") or "").strip()
+        if href and not _BAD_ESCAPE_RE.search(href):
             resolved = resolve_href(page_url, href)
             if resolved is not None:
                 return resolved
-            break
+        break
     return page_url
 
 

@@ -19,6 +19,12 @@ from .urlnorm import url_site
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
 _SMAP_BLOCK_RE = re.compile(r"<sitemap[\s>](.*?)</sitemap>", re.IGNORECASE | re.DOTALL)
 _URL_BLOCK_RE = re.compile(r"<url[\s>](.*?)</url>", re.IGNORECASE | re.DOTALL)
+_CDATA_RE = re.compile(r"\A<!\[CDATA\[(.*)\]\]>\Z", re.DOTALL)
+
+# sitemaps.org caps a single sitemap at 50,000 URLs; crawler-commons (and
+# therefore the reference, sitemap_spec.rb "more URLs than allowed by the
+# spec") returns whatever fits within the limit, without error
+MAX_SITEMAP_URLS = 50_000
 
 
 def maybe_gunzip(data: bytes) -> bytes:
@@ -53,10 +59,16 @@ def parse_sitemap(sitemap_url: str, content: bytes | str):
     blocks = _SMAP_BLOCK_RE.findall(content) if is_index else _URL_BLOCK_RE.findall(content)
     out = sitemap_links if is_index else content_links
     for block in blocks:
+        if len(out) >= MAX_SITEMAP_URLS:
+            break
         m = _LOC_RE.search(block)
         if not m:
             continue
-        loc = _unescape(m.group(1).strip())
+        loc = m.group(1).strip()
+        cm = _CDATA_RE.match(loc)
+        # CDATA content is literal (no entity unescaping); plain text gets
+        # XML entities decoded (sitemap_spec.rb CDATA contexts)
+        loc = cm.group(1).strip() if cm else _unescape(loc)
         if not loc:
             continue
         resolved = resolve_href(base, loc)

@@ -88,6 +88,9 @@ PARSED_SCHEMA = StructType(
         StructField("headings", ArrayType(StringType())),
         StructField("indexed_links", ArrayType(StringType())),
         StructField("extra_fields", MapType(StringType(), StringType())),
+        # opt-in full page HTML (document_mapper.rb:76); null unless
+        # full_html_extraction_enabled
+        StructField("full_html", StringType()),
         StructField("canonical_url", StringType()),
         StructField("meta_nofollow", BooleanType()),
         StructField("meta_noindex", BooleanType()),
@@ -266,9 +269,10 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                     rec["kind"] = "unsupported"
                 out.append(rec)
                 continue
+            html_text = decode_text(body, enc)
             page = extract_page(
                 norm_url,
-                decode_text(body, enc),
+                html_text,
                 max_extracted_links=cfg.max_extracted_links_count,
                 max_indexed_links=cfg.max_indexed_links_count,
                 max_headings=cfg.max_headings_count,
@@ -300,6 +304,8 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                     ],
                 }
             )
+            if cfg.full_html_extraction_enabled:
+                rec["full_html"] = html_text
             out.append(rec)
         yield pd.DataFrame(out, columns=[f.name for f in PARSED_SCHEMA.fields])
 
@@ -367,6 +373,7 @@ def docs_from_parsed(
         F.col("content_type"),
         F.col("content_length"),
         F.col("attachment").alias("_attachment"),
+        *([F.col("full_html")] if cfg.full_html_extraction_enabled else []),
         *[F.col(c) for c in extra_cols],
     )
 

@@ -304,5 +304,7 @@ class CrawlSimulator:
             "links": page["indexed_links"],
             "headings": page["headings"],
         }
+        if self.config.full_html_extraction_enabled:
+            doc["full_html"] = html_text
         doc.update(url_components(task.url))
         self.docs.append(doc)

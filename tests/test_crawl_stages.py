@@ -261,3 +261,26 @@ def test_queue_full_strict_compat(spark, tmp_path):
     # /p5 is re-discovered from p0..p2's links in wave 2 and admitted then
     assert f"{HOST}/p5" in seen
     assert f"{HOST}/p3" not in seen and f"{HOST}/p4" not in seen
+
+
+def test_full_html_extraction_opt_in(spark, tmp_path):
+    """full_html_extraction_enabled (config.rb:65,208 ->
+    document_mapper.rb:76): docs carry the page's full HTML only when the
+    flag is on; the field is absent otherwise."""
+    pages = {
+        f"{HOST}/": _page(["/a"]),
+        f"{HOST}/a": _page([]),
+    }
+    rows = _rows(pages)
+    pdf = _write(spark, rows, str(tmp_path / "pages.parquet"))
+
+    on = CrawlConfig(seed_urls=(f"{HOST}/",), full_html_extraction_enabled=True)
+    res = SparkCrawler(spark, on, pdf, str(tmp_path / "s1"), max_waves=10).run()
+    docs = {r.url: r for r in res.docs.collect()}
+    assert set(docs) == set(pages)
+    for u, h in pages.items():
+        assert docs[u].full_html == h
+
+    off = CrawlConfig(seed_urls=(f"{HOST}/",))
+    res2 = SparkCrawler(spark, off, pdf, str(tmp_path / "s2"), max_waves=10).run()
+    assert "full_html" not in res2.docs.columns

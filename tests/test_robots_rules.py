@@ -145,3 +145,33 @@ def test_pattern_anchoring():
     assert p.startswith("\\Ahttp")
     eng = RuleEngine.from_specs("http://example.com", [("deny", "begins", "/foo")])
     assert eng.outcome("http://other.com/x?u=http://example.com/foo") == "allow"
+
+
+def test_rule_regex_timeout_denies(monkeypatch):
+    """rule_spec.rb:27-34 + rule_engine/base.rb:40-45: a catastrophically
+    backtracking rule regex is time-bounded, and a timed-out rule DENIES."""
+    import time
+
+    from crawler_spark.functions import rules as rules_mod
+
+    # the spec's own pattern ((((((a*)*)*)*)*)*)*… is handled by the regex
+    # module WITHOUT backtracking blowup — strictly better than the
+    # reference (fast no-match → allow, no timeout needed):
+    spec_eng = rules_mod.RuleEngine.from_specs(
+        "http://test1.example.com",
+        [("deny", "regex",
+          r"((((((a*)*)*)*)*)*)*((((((a*)*)*)*)*)*)*((((((a*)*)*)*)*)*)*$")],
+    )
+    t0 = time.time()
+    assert spec_eng.outcome("http://test1.example.com//" + "a" * 45 + "b") == "allow"
+    assert time.time() - t0 < 5.0
+
+    # a pattern that DOES blow up pins the timeout → deny path
+    eng = rules_mod.RuleEngine.from_specs(
+        "http://test1.example.com", [("deny", "regex", r"/(a+)+$")]
+    )
+    url = "http://test1.example.com/" + "a" * 3000 + "b"
+    monkeypatch.setattr(rules_mod, "REGEX_TIMEOUT_S", 0.005)
+    t0 = time.time()
+    assert eng.outcome(url) == "deny"
+    assert time.time() - t0 < 5.0

@@ -164,3 +164,76 @@ def test_extract_page_caps():
     assert len(r["indexed_links"]) == 5
     assert r["indexed_links"] == sorted([f"http://e.com/l{i}" for i in range(5)])
     assert len(r["headings"]) == 25
+
+
+def test_base_url_reference_spec_cases():
+    """Mirrors spec/lib/crawler/data/crawl_result/html_spec.rb #base_url:
+    spaces stripped, invalid escape -> page URL, no/empty href -> page URL,
+    relative href completed, FIRST base[href] wins (even over later ones),
+    no base tag -> page URL."""
+    from crawler_spark.functions.pageextract import compute_base_url
+    from crawler_spark.htmlkit import dom
+
+    page = "https://page.test/dir/index.html"
+    cases = [
+        ('<base href="  https://example.com/hello  ">', "https://example.com/hello"),
+        ('<base href="%https:/">', page),                      # invalid escape
+        ('<base target="_blank">', page),                      # no href attr
+        ('<base href="">', page),                              # empty href
+        ('<base href="/hello">', "https://page.test/hello"),   # relative
+        ('<base target="_blank"><base href="https://example.com/hello">'
+         '<base href="https://example.com/world">',
+         "https://example.com/hello"),                         # first href wins
+        ('<base href=""><base href="https://example.com/x">', page),
+        ("", page),                                            # no base tag
+    ]
+    for frag, expect in cases:
+        doc = dom.parse(f"<html><head>{frag}</head><body>x</body></html>")
+        assert compute_base_url(doc, page) == expect, frag
+
+
+def test_title_fallback_reference_spec_cases():
+    """html_spec.rb #document_title: head <title> preferred; first <title>
+    anywhere on the page otherwise; empty string when absent."""
+    from crawler_spark.functions.pageextract import extract_page
+
+    head = extract_page("https://t.test/", "<html><head><title>A</title></head><body><title>B</title></body></html>")
+    assert head["title"] == "A"
+    body_only = extract_page("https://t.test/", "<html><body>text <title>B</title> <title>C</title></body></html>")
+    assert body_only["title"] == "B"
+    none = extract_page("https://t.test/", "<html><body>no title</body></html>")
+    assert none["title"] == ""
+
+
+def test_sitemap_reference_spec_cases():
+    """Mirrors data/crawl_result/sitemap_spec.rb: CDATA-wrapped locs,
+    BOM prefix, corrupted XML -> empty set, partial XML -> partial set,
+    50k spec cap, gzip."""
+    import gzip as _gz
+
+    from crawler_spark.functions.sitemaps import MAX_SITEMAP_URLS, parse_sitemap
+
+    u = "https://s.test/sitemap.xml"
+    # CDATA in urlset and sitemapindex
+    sm, cl = parse_sitemap(u, "<urlset><url><loc><![CDATA[https://s.test/a?x=1&y=2]]></loc></url></urlset>")
+    assert (sm, cl) == ([], ["https://s.test/a?x=1&y=2"])
+    sm, cl = parse_sitemap(u, "<sitemapindex><sitemap><loc><![CDATA[ https://s.test/child.xml ]]></loc></sitemap></sitemapindex>")
+    assert (sm, cl) == (["https://s.test/child.xml"], [])
+    # entity unescape outside CDATA
+    _, cl = parse_sitemap(u, "<urlset><url><loc>https://s.test/a?x=1&amp;y=2</loc></url></urlset>")
+    assert cl == ["https://s.test/a?x=1&y=2"]
+    # BOM-prefixed document
+    bom = b"\xef\xbb\xbf<?xml version='1.0'?><urlset><url><loc>https://s.test/b</loc></url></urlset>"
+    assert parse_sitemap(u, bom)[1] == ["https://s.test/b"]
+    # corrupted XML -> empty, no raise; partially-valid -> partial set
+    assert parse_sitemap(u, "<<<not xml at all") == ([], [])
+    partial = "<urlset><url><loc>https://s.test/ok</loc></url><url><loc></urlset>"
+    assert parse_sitemap(u, partial)[1] == ["https://s.test/ok"]
+    # gzip auto-detect
+    gz = _gz.compress(b"<urlset><url><loc>https://s.test/z</loc></url></urlset>")
+    assert parse_sitemap(u, gz)[1] == ["https://s.test/z"]
+    # 50k spec cap
+    big = "<urlset>" + "".join(
+        f"<url><loc>https://s.test/p{i}</loc></url>" for i in range(MAX_SITEMAP_URLS + 5)
+    ) + "</urlset>"
+    assert len(parse_sitemap(u, big)[1]) == MAX_SITEMAP_URLS
