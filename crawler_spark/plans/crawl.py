@@ -289,6 +289,7 @@ class SparkCrawler:
     def run(self):
         cfg = self.config
         t0 = time.time()
+        self._lifecycle_rows = []
         # materialize the corpus cache explicitly so its cost is attributed
         # (the ingest/bucketing step of the production Iceberg table, not
         # per-wave crawl work)
@@ -338,6 +339,11 @@ class SparkCrawler:
             seen_count = manifest["seen_count"]
             seen = self.store.read("seen")
             frontier = self.spark.read.parquet(manifest["frontier_pending"])
+            if cfg.lineage_enabled:
+                # event_generator.rb:54-69: crawl-start with resume=true
+                self._lifecycle_row(
+                    "crawl-start", None, f"Resuming a crawl ({seen_count} seen URLs)"
+                )
         else:
             wave = base_wave
             if not self.recrawl:
@@ -358,6 +364,10 @@ class SparkCrawler:
                 for i, u in enumerate(smaps)
                 if U.try_normalize(u)[0]
             ]
+            if cfg.lineage_enabled:
+                self._lifecycle_row("crawl-start", None, "Starting a crawl")
+                self._lifecycle_row(
+                    "crawl-seed", None, f"{len(rows)} seed urls", )
             candidates = self._candidates_df(rows)
             denied, dup, admitted, n_adm = self._gate_and_admit(
                 candidates, None, 0, seq_base, wave
@@ -372,7 +382,11 @@ class SparkCrawler:
                 self.store.append("lineage", self._lineage(denied, wave, False).unionByName(
                     self._lineage(admitted, wave, True)), wave)
                 self.store.append(
-                    "events", self._events_delta(None, denied, None, admitted), wave
+                    "events",
+                    self._drain_lifecycle(
+                        self._events_delta(None, denied, None, admitted)
+                    ),
+                    wave,
                 )
             seen_count = n_adm
             seq_base += n_adm
@@ -472,7 +486,11 @@ class SparkCrawler:
                 # url-fetch / url-output rows from the wave's parsed file,
                 # url-seed / url-discover(denied) from the admission chain
                 self.store.append(
-                    "events", self._events_delta(parsed, denied, dup, admitted), wave
+                    "events",
+                    self._drain_lifecycle(
+                        self._events_delta(parsed, denied, dup, admitted)
+                    ),
+                    wave,
                 )
                 _mark("lineage")
             seen_count += n_adm
@@ -509,8 +527,20 @@ class SparkCrawler:
                 ready.unpersist()
             wave += 1
 
+        if cfg.lineage_enabled:
+            # event_generator.rb:72-91: per-stage end + final crawl-end
+            self._lifecycle_row("crawl-stage-end", self.outcome[1], self.outcome[2])
         if cfg.purge_crawl_enabled and self.outcome[1] == "success":
             wave = self._run_purge(wave, base_wave, t0)
+            if cfg.lineage_enabled:
+                self._lifecycle_row(
+                    "crawl-stage-end", self.outcome[1], self.outcome[2]
+                )
+        if cfg.lineage_enabled:
+            self._lifecycle_row("crawl-end", self.outcome[1], self.outcome[2])
+            # `wave` is past every written snapshot dir, so the flush never
+            # clobbers a wave's events Δ
+            self.store.append("events", self._drain_lifecycle(None), wave)
         m = self.store.read_manifest()
         if m is not None:
             m["outcome"] = {
@@ -618,8 +648,30 @@ class SparkCrawler:
 
     _EVENT_COLS = [
         "action", "url", "url_hash", "depth", "status", "outcome",
-        "deny_reason", "source_type", "source_url",
+        "deny_reason", "source_type", "source_url", "message",
     ]
+
+    _EVENT_SCHEMA = (
+        "action string, url string, url_hash string, depth int, status int, "
+        "outcome string, deny_reason string, source_type string, "
+        "source_url string, message string"
+    )
+
+    def _lifecycle_row(self, action: str, outcome: str | None, message: str):
+        """crawl-start / crawl-stage-end / crawl-end / crawl-seed rows
+        (event_generator.rb:54-99) — buffered and unioned into the next
+        events Δ (wave dirs are immutable snapshots, so lifecycle rows ride
+        an existing write or the final post-loop one)."""
+        self._lifecycle_rows.append(
+            (action, None, None, None, None, outcome, None, None, None, message)
+        )
+
+    def _drain_lifecycle(self, ev: DataFrame | None) -> DataFrame | None:
+        if not self._lifecycle_rows:
+            return ev
+        extra = self.spark.createDataFrame(self._lifecycle_rows, self._EVENT_SCHEMA)
+        self._lifecycle_rows = []
+        return extra if ev is None else ev.unionByName(extra)
 
     def _fetch_events(self, parsed: DataFrame) -> DataFrame:
         return parsed.select(
@@ -634,6 +686,7 @@ class SparkCrawler:
             F.lit(None).cast("string").alias("deny_reason"),
             F.lit(None).cast("string").alias("source_type"),
             F.lit(None).cast("string").alias("source_url"),
+            F.lit(None).cast("string").alias("message"),
         )
 
     def _output_events(self, parsed: DataFrame) -> DataFrame:
@@ -647,6 +700,7 @@ class SparkCrawler:
             F.lit(None).cast("string").alias("deny_reason"),
             F.lit(None).cast("string").alias("source_type"),
             F.lit(None).cast("string").alias("source_url"),
+            F.lit(None).cast("string").alias("message"),
         )
 
     def _events_delta(
@@ -669,6 +723,7 @@ class SparkCrawler:
                  else F.lit(None).cast("string")).alias("deny_reason"),
                 "source_type",
                 "source_url",
+                F.lit(None).cast("string").alias("message"),
             )
 
         out = discover(denied, "url-discover").unionByName(discover(admitted, "url-seed"))

@@ -30,14 +30,18 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="crawler_spark crawl job")
     ap.add_argument("--pages", required=True, help="pages table (parquet path)")
     ap.add_argument("--state", required=True, help="state/checkpoint directory")
-    ap.add_argument("--seeds", nargs="+", required=True)
+    ap.add_argument("--config", default=None,
+                    help="reference-format crawler.yml (domains / crawl_rules "
+                         "/ extraction_rulesets / max_* settings); CLI flags "
+                         "override its values")
+    ap.add_argument("--seeds", nargs="*", default=None)
     ap.add_argument("--sitemaps", nargs="*", default=[])
     ap.add_argument("--allow-domain", nargs="*", default=None,
                     help="domain allowlist (defaults to the seed sites)")
     ap.add_argument("--max-waves", type=int, default=64)
-    ap.add_argument("--max-depth", type=int, default=10)
-    ap.add_argument("--max-unique", type=int, default=100_000)
-    ap.add_argument("--politeness-window", type=float, default=0.0,
+    ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--max-unique", type=int, default=None)
+    ap.add_argument("--politeness-window", type=float, default=None,
                     help="seconds of crawl-delay budget per wave (0 = off)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-lineage", action="store_true")
@@ -50,17 +54,47 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName("crawler-spark-crawl").getOrCreate()
 
-    kwargs = dict(
-        seed_urls=tuple(args.seeds),
-        sitemap_urls=tuple(args.sitemaps),
-        max_crawl_depth=args.max_depth,
-        max_unique_url_count=args.max_unique,
-        politeness_window_s=args.politeness_window,
-        lineage_enabled=not args.no_lineage,
-    )
-    if args.allow_domain:
-        kwargs["domain_allowlist"] = tuple(args.allow_domain)
-    config = CrawlConfig(**kwargs)
+    if args.config:
+        from dataclasses import replace
+
+        from crawler_spark.config_file import load_config
+
+        config, _extras = load_config(args.config)
+        overrides = {}
+        if args.max_depth is not None:
+            overrides["max_crawl_depth"] = args.max_depth
+        if args.max_unique is not None:
+            overrides["max_unique_url_count"] = args.max_unique
+        if args.politeness_window is not None:
+            overrides["politeness_window_s"] = args.politeness_window
+        if args.no_lineage:
+            overrides["lineage_enabled"] = False
+        if args.seeds:
+            overrides["seed_urls"] = tuple(args.seeds)
+        if args.sitemaps:
+            overrides["sitemap_urls"] = tuple(args.sitemaps)
+        if args.allow_domain:
+            overrides["domain_allowlist"] = tuple(args.allow_domain)
+        if overrides:
+            config = replace(config, **overrides)
+    else:
+        if not args.seeds:
+            ap.error("--seeds is required when no --config is given")
+        kwargs = dict(
+            seed_urls=tuple(args.seeds),
+            sitemap_urls=tuple(args.sitemaps),
+            max_crawl_depth=args.max_depth if args.max_depth is not None else 10,
+            max_unique_url_count=(
+                args.max_unique if args.max_unique is not None else 100_000
+            ),
+            politeness_window_s=(
+                args.politeness_window if args.politeness_window is not None else 0.0
+            ),
+            lineage_enabled=not args.no_lineage,
+        )
+        if args.allow_domain:
+            kwargs["domain_allowlist"] = tuple(args.allow_domain)
+        config = CrawlConfig(**kwargs)
 
     pages = spark.read.parquet(args.pages)
     crawler = SparkCrawler(

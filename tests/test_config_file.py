@@ -1,0 +1,92 @@
+"""crawler.yml loader parity (api/config.rb mapping)."""
+
+import textwrap
+
+from crawler_spark.config_file import config_from_dict, load_config
+
+
+def _example_yaml(tmp_path):
+    p = tmp_path / "crawler.yml"
+    p.write_text(textwrap.dedent("""
+        domains:
+          - url: https://parksaustralia.gov.au
+            seed_urls:
+              - https://parksaustralia.gov.au
+              - https://parksaustralia.gov.au/news/
+            crawl_rules:
+              - policy: deny
+                type: begins
+                pattern: /admin
+          - url: https://example.com
+            sitemap_urls:
+              - https://example.com/sitemap.xml
+            extraction_rulesets:
+              - url_filters:
+                  - type: regex
+                    pattern: .*
+                rules:
+                  - action: set
+                    field_name: is_page
+                    selector: .*
+                    value: yes
+                    source: url
+        output_sink: elasticsearch
+        output_index: parks-australia
+        max_crawl_depth: 2
+        max_title_size: 500
+        max_body_size: 5_242_880 # 5 megabytes
+        max_duration: 3600
+        full_html_extraction_enabled: true
+        schedule:
+          pattern: "0 2 * * *"
+        elasticsearch:
+          host: http://localhost
+          port: 9200
+    """))
+    return str(p)
+
+
+def test_load_reference_shaped_yaml(tmp_path):
+    cfg, extras = load_config(_example_yaml(tmp_path))
+    # domains -> allowlist; second domain has no seed_urls -> "<url>/"
+    assert cfg.domain_allowlist == (
+        "https://parksaustralia.gov.au", "https://example.com",
+    )
+    assert cfg.seed_urls == (
+        "https://parksaustralia.gov.au",
+        "https://parksaustralia.gov.au/news/",
+        "https://example.com/",
+    )
+    assert cfg.sitemap_urls == ("https://example.com/sitemap.xml",)
+    # crawl_rules keyed by site, tuple specs
+    assert cfg.crawl_rules == {
+        "https://parksaustralia.gov.au": [("deny", "begins", "/admin")]
+    }
+    assert list(cfg.extraction_rules) == ["https://example.com"]
+    rs = cfg.extraction_rules["https://example.com"][0]
+    assert rs["rules"][0]["field_name"] == "is_page"
+    # scalars, Ruby underscore literal, max_duration -> seconds field
+    assert cfg.max_crawl_depth == 2
+    assert cfg.max_title_size == 500
+    assert cfg.max_body_size == 5_242_880
+    assert cfg.max_duration_s == 3600.0
+    assert cfg.full_html_extraction_enabled is True
+    # non-engine keys surface in extras, never dropped
+    assert extras["output_sink"] == "elasticsearch"
+    assert extras["output_index"] == "parks-australia"
+    assert extras["schedule"] == {"pattern": "0 2 * * *"}
+    assert extras["elasticsearch"]["port"] == 9200
+
+
+def test_domain_defaults_and_empty():
+    cfg, extras = config_from_dict({"domains": [{"url": "https://a.test"}]})
+    assert cfg.seed_urls == ("https://a.test/",)
+    assert cfg.domain_allowlist == ("https://a.test",)
+    assert cfg.crawl_rules == {}
+    assert extras == {}
+
+
+def test_top_level_seed_urls_without_domains():
+    cfg, _ = config_from_dict({"seed_urls": ["https://b.test/x"]})
+    assert cfg.seed_urls == ("https://b.test/x",)
+    assert cfg.domain_allowlist == ()  # derived from seeds at crawl time

@@ -179,6 +179,14 @@ def test_event_stream_reconciles(spark, tmp_path):
     fails = {r["url"] for r in ev.filter(
         "action = 'url-fetch' and outcome != 'success'").collect()}
     assert f"{HOST}/missing" in fails
+    # lifecycle events (event_generator.rb:54-99): one start, one seed,
+    # one stage-end + one end carrying the final outcome
+    assert by_action.get("crawl-start") == 1
+    assert by_action.get("crawl-seed") == 1
+    assert by_action.get("crawl-stage-end") == 1
+    assert by_action.get("crawl-end") == 1
+    end = ev.filter("action = 'crawl-end'").first()
+    assert end["outcome"] == "success" and end["message"]
 
 
 def test_charset_decode_golden(spark, tmp_path):
