@@ -408,13 +408,21 @@ def chunk_dedup(
     agg + join back on fp); the join key fp is md5 — uniformly distributed,
     AQE handles any residual skew.
     """
+    from pyspark.storagelevel import StorageLevel
+
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.md5(F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " ")),
     )
-    occ = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "fp"))
+    # the first-owner agg AND the join probe both consume the chunk-hash
+    # explode (split + md5 per chunk — the expensive subtree); persist the
+    # skinny (doc, idx, fp) rows so it is computed once, same
+    # materialization point as the LSH band table above
+    occ = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "fp")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     firsts = occ.groupBy("fp").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("c"))).alias("first")
     )
