@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: pin the plan *shapes* that make the
+operators scale (BENCH/PLANS.md) so a refactor can't silently reintroduce
+a cartesian product, lose a pushed-down filter, or drop a materialization
+point. Timings don't carry from local[4] to a 1000-executor cluster —
+plan shapes do.
+"""
+
+import pytest
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry_queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+# every driver query: no cartesian product anywhere (the brute-force ANN
+# baselines broadcast one side — BroadcastNestedLoopJoin, never
+# CartesianProduct)
+def test_no_cartesian_products_anywhere(spark, entry_queries):
+    offenders = []
+    for name, fn in entry_queries.items():
+        plan = _formatted_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_pricing_summary_partial_agg_and_pushdown(spark, entry_queries):
+    plan = _formatted_plan(entry_queries["pricing_summary"](spark, SF_DIR))
+    # map-side combine: two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    # the shipdate filter reaches the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_seen_antijoin_is_broadcast_anti(spark, entry_queries):
+    plan = _formatted_plan(entry_queries["seen_antijoin"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # small build side broadcasts at test scale (bucketed SHJ at prod scale)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_politeness_topk_group_limit_pushdown(spark, entry_queries):
+    plan = _formatted_plan(entry_queries["politeness_topk"](spark, SF_DIR))
+    # Spark 4 WindowGroupLimit: partial top-k below the exchange, so the
+    # full frontier is never sorted globally
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_lsh_pairs_single_signature_chain(spark, entry_queries):
+    plan = _formatted_plan(entry_queries["minhash_lsh_pairs"](spark, SF_DIR))
+    # the signature chain is persisted: consumers read InMemoryTableScan
+    # instead of recomputing the grams->minhash->band aggregation (without
+    # the persist the plan shows zero cache scans and four copies of the
+    # aggregation subtree — BENCH/PLANS.md fix 1)
+    assert "InMemoryTableScan" in plan
+
+
+def test_paragraph_dedup_single_chunk_explode(spark, entry_queries):
+    plan = _formatted_plan(entry_queries["paragraph_dedup"](spark, SF_DIR))
+    # chunk-hash occurrence table is persisted (BENCH/PLANS.md fix 4):
+    # both the first-owner agg and the join probe read the cache
+    assert "InMemoryTableScan" in plan
+
+
+def test_ivf_ann_assignment_broadcasts_centroids(spark, entry_queries):
+    plan = _formatted_plan(entry_queries["ivf_ann_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
