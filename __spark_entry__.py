@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fingerprint,
         lang_id,
         quality_score,
+        rare_token_stats,
         token_stats,
         winnow_fingerprints,
     )
@@ -228,6 +229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_fingerprint(spark, sf):
         return fingerprint(_t(spark, sf, "documents"))
 
+    def rare_tokens(spark, sf):
+        # corpus-statistical quality: per-doc rare-token share vs the
+        # whole-corpus term-frequency table (integer-exact LM stand-in)
+        return rare_token_stats(_t(spark, sf, "documents"))
+
     def minhash_sigs(spark, sf):
         return minhash_signatures(_t(spark, sf, "documents"))
 
@@ -315,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": quality,
         "lang_id": langid,
         "doc_fingerprint": doc_fingerprint,
+        "rare_token_stats": rare_tokens,
         "minhash_signatures": minhash_sigs,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash": simhash_fps,
@@ -578,6 +585,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, sha256(text) AS fp_sha256, strlen(text) AS n_bytes
             FROM documents
+        """,
+        "rare_token_stats": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN f.tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                   round(CAST(sum(CASE WHEN f.tf <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS rare_ratio
+            FROM toks t JOIN tf f ON t.tok = f.tok
+            GROUP BY t.doc_id
         """,
         "minhash_signatures": """
             WITH words AS (

@@ -39,6 +39,7 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "rare_token_stats",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",

@@ -118,6 +118,42 @@ def score_with_model(
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+def rare_token_stats(
+    df: DataFrame, rare_max_tf: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-statistical quality signal: per-doc share of tokens that are
+    rare in the WHOLE corpus (corpus term frequency ≤ ``rare_max_tf``).
+    High rare_ratio flags gibberish/mojibake/boilerplate-free noise — the
+    integer-exact stand-in for unigram-LM log-prob scoring (log-prob needs
+    libm, whose last-ulp behavior differs across engines; rare-token counts
+    hash-match any oracle bit-for-bit).
+
+    Scale shape: the token explode is consumed twice (vocabulary aggregate
+    + frequency join-back) → persisted once, the same materialization point
+    as the LSH band table. The vocabulary (Zipf: ≪ corpus token count) is
+    an aggregate whose true size only AQE sees — at runtime it converts the
+    join to broadcast when the vocab fits and splits the stopword-skewed
+    partitions otherwise; the final per-doc rollup is a map-side-combined
+    hash aggregate on the id.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    rare = (F.col("tf") <= rare_max_tf).cast("int")
+    return (
+        toks.join(tf, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(rare).alias("n_rare"),
+            F.round(F.sum(rare) / F.count("*"), 4).alias("rare_ratio"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable document fingerprint: sha256 of the text (rolling-hash
     shingle fingerprints live in dedup.minhash_signatures)."""

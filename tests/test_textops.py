@@ -328,3 +328,21 @@ def test_dedup_keep_best_quality_argmax(spark):
     assert [out[i].keep for i in (1, 2, 3, 4)] == [False, True, True, False]
     assert {out[i].cluster_id for i in (1, 2, 4)} == {1}
     assert out[3].cluster_id == 3
+
+
+def test_rare_token_stats_hand_computed(spark):
+    from crawler_spark.textops.textstats import rare_token_stats
+
+    # corpus TF: the=3, cat=2, sat=2, qzx=1, wvu=1, dog=1
+    texts = [
+        (1, "the cat sat"),
+        (2, "the cat sat"),
+        (3, "the qzx wvu dog"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {r.doc_id: r for r in rare_token_stats(df, rare_max_tf=2).collect()}
+    # docs 1/2: cat(2) and sat(2) are rare at max_tf=2, the(3) is not
+    assert (out[1].n_tokens, out[1].n_rare, out[1].rare_ratio) == (3, 2, 0.6667)
+    assert (out[2].n_tokens, out[2].n_rare, out[2].rare_ratio) == (3, 2, 0.6667)
+    # doc 3: qzx, wvu, dog each tf=1 → 3 of 4 rare
+    assert (out[3].n_tokens, out[3].n_rare, out[3].rare_ratio) == (4, 3, 0.75)
