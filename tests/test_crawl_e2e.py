@@ -194,3 +194,56 @@ def test_lineage_off_perf_path_identical(
         assert got[url]["seq"] == rec["seq"], f"seq mismatch for {url}"
     # the lineage table must NOT have been written on the perf path
     assert res.lineage is None or res.lineage.rdd.isEmpty()
+
+
+def test_streaming_state_reconciles_with_batch(
+    spark, crawl_config, spark_result, tmp_path_factory
+):
+    """The crawl's per-wave parsed snapshots drive Structured Streaming
+    consumers whose results must reconcile exactly with the batch crawl:
+    live metrics == batch parsed counts, and the foreachBatch incremental
+    docs view == the batch merge-on-read docs view."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming.crawl_stream import (
+        docs_view, incremental_docs, live_fetch_metrics, parsed_stream,
+    )
+
+    state_dir = spark_result.store.root
+    # live metrics: drain and compare with a batch aggregation
+    q = (
+        live_fetch_metrics(parsed_stream(spark, state_dir))
+        .writeStream.format("memory")
+        .queryName("crawl_metrics_t")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = {
+        (r.kind, r.status, r.depth): r.n
+        for r in spark.table("crawl_metrics_t").collect()
+    }
+    want = {
+        (r.kind, r.status, r.depth): r.n
+        for r in spark_result.store.read("parsed")
+        .groupBy("kind", "status", "depth")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # incremental docs: foreachBatch appends keyed by (id, wave); the
+    # read-time view must equal the batch docs view
+    out = str(tmp_path_factory.mktemp("stream_docs"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    q2 = incremental_docs(
+        parsed_stream(spark, state_dir), crawl_config, out, ckpt
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    streamed = {r.id: r.url for r in docs_view(spark, out).collect()}
+    batch = {r.id: r.url for r in spark_result.docs.collect()}
+    assert streamed == batch
