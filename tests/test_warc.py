@@ -1,0 +1,96 @@
+"""WARC ingestion source: parse round-trip, record-type filtering, gzip
+members, and compatibility with prepare_pages (the crawl's input prep)."""
+
+import datetime
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    from crawler_spark.sources.warc import write_warc
+
+    d = tmp_path_factory.mktemp("warc")
+    write_warc(
+        str(d / "seg-00000.warc"),
+        [
+            {
+                "url": "https://site0.test/",
+                "date": "2024-01-02T03:04:05Z",
+                "body": b"<html><body>home</body></html>",
+            },
+            {
+                # request records must be skipped
+                "url": "https://site0.test/",
+                "date": "2024-01-02T03:04:05Z",
+                "body": b"GET / HTTP/1.1",
+                "type": "request",
+                "http": False,
+            },
+            {
+                # non-http payload (resource-style body, no HTTP envelope)
+                "url": "https://site0.test/raw",
+                "date": "2024-01-02T03:04:06Z",
+                "body": b"<html><body>raw</body></html>",
+                "http": False,
+            },
+        ],
+    )
+    write_warc(
+        str(d / "seg-00001.warc.gz"),
+        [
+            {
+                "url": "https://site1.test/a",
+                "date": "2024-02-03T04:05:06Z",
+                "body": b"<html><body>gz page</body></html>",
+            }
+        ],
+        compress=True,
+    )
+    return str(d)
+
+
+def test_warc_read_responses_only(spark, warc_dir):
+    from crawler_spark.sources.warc import read_warc
+
+    rows = {r.url: r for r in read_warc(spark, warc_dir).collect()}
+    assert set(rows) == {
+        "https://site0.test/",
+        "https://site0.test/raw",
+        "https://site1.test/a",
+    }
+    # HTTP envelope stripped; raw payload passed through
+    assert bytes(rows["https://site0.test/"].html) == b"<html><body>home</body></html>"
+    assert bytes(rows["https://site0.test/raw"].html) == b"<html><body>raw</body></html>"
+    assert bytes(rows["https://site1.test/a"].html) == b"<html><body>gz page</body></html>"
+    assert rows["https://site1.test/a"].warc_ts == datetime.datetime(2024, 2, 3, 4, 5, 6)
+    # text/lang are downstream derivations — null at ingest
+    assert rows["https://site0.test/"].text is None
+    assert rows["https://site0.test/"].lang is None
+
+
+def test_warc_feeds_prepare_pages(spark, warc_dir):
+    from crawler_spark.sources.pages import prepare_pages
+    from crawler_spark.sources.warc import read_warc
+
+    pages = prepare_pages(read_warc(spark, warc_dir))
+    got = {r.norm_url: r.url_hash for r in pages.collect()}
+    assert "https://site0.test/" in got
+    assert all(len(h) == 40 for h in got.values())  # sha1 hex join identity
+
+
+def test_truncated_archive_yields_good_prefix(spark, tmp_path):
+    from crawler_spark.sources.warc import iter_warc_records, write_warc
+
+    p = tmp_path / "trunc.warc"
+    write_warc(
+        str(p),
+        [
+            {"url": "https://a.test/", "date": "2024-01-01T00:00:00Z", "body": b"x"},
+            {"url": "https://b.test/", "date": "2024-01-01T00:00:01Z", "body": b"y"},
+        ],
+    )
+    data = p.read_bytes()[:-30]  # cut into the second record
+    recs = list(iter_warc_records(data))
+    assert len(recs) == 1
+    assert recs[0][0]["warc-target-uri"] == "https://a.test/"
