@@ -66,6 +66,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash,
         simhash_hamming_pairs,
     )
+    from crawler_spark.textops.corpusfilter import (
+        contamination_check,
+        embedding_dedup,
+        repetition_stats,
+    )
     from crawler_spark.textops.multimodal import extract_metadata, frame_sample_stub
     from crawler_spark.textops.similarity import (
         brute_force_topk,
@@ -303,6 +308,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full prune pipeline: clusters → keep argmax-quality per cluster
         return dedup_keep_best(_t(spark, sf, "documents"))
 
+    def repetition(spark, sf):
+        # Gopher-style repetition gates: distinct-token ratio,
+        # top-token / top-bigram share
+        return repetition_stats(_t(spark, sf, "documents"))
+
+    def contamination(spark, sf):
+        # benchmark n-gram contamination: deterministic held-out split
+        return contamination_check(_t(spark, sf, "documents"))
+
+    def emb_dedup(spark, sf):
+        # quantized-embedding exact dedup (pre-pass before cosine near-dup)
+        return embedding_dedup(_t(spark, sf, "embeddings"))
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -337,6 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": para_dedup,
         "dup_clusters": dup_cluster,
         "dedup_keep_best": keep_best,
+        "repetition_stats": repetition,
+        "contamination_check": contamination,
+        "embedding_dedup": emb_dedup,
     }
 
 
@@ -797,5 +818,65 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 4)
                      AS dup_ratio
             FROM ranked GROUP BY doc_id
+        """,
+        "repetition_stats": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            toks AS (SELECT doc_id, unnest(w) AS tok FROM w),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+            ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                          count(*) AS n_distinct, max(c) AS top_c
+                   FROM tc GROUP BY doc_id),
+            bgu AS (
+              SELECT doc_id,
+                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+              FROM w WHERE len(w) >= 2),
+            bc AS (SELECT doc_id, bg, count(*) AS c FROM bgu GROUP BY doc_id, bg),
+            ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_b
+                   FROM bc GROUP BY doc_id)
+            SELECT ta.doc_id, n_tokens,
+                   round(n_distinct / n_tokens, 4) AS distinct_ratio,
+                   round(top_c / n_tokens, 4) AS top_token_share,
+                   coalesce(round(top_b / n_bigrams, 4), 0.0) AS top_bigram_share,
+                   (round(n_distinct / n_tokens, 4) >= 0.2
+                    AND round(top_c / n_tokens, 4) <= 0.2
+                    AND coalesce(round(top_b / n_bigrams, 4), 0.0) <= 0.18)
+                     AS repetition_ok
+            FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+        """,
+        "contamination_check": """
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                       FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(w[i:i+7], ' ')
+                        for i in range(1, len(w) - 6)])) AS g
+              FROM w WHERE len(w) >= 8
+              UNION ALL
+              SELECT doc_id, text AS g FROM w WHERE len(w) < 8),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+            SELECT c.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                         / count(*), 4) AS contamination_ratio,
+                   (round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                          / count(*), 4) >= 0.1) AS contaminated
+            FROM corpus c LEFT JOIN bench b ON c.g = b.g
+            GROUP BY c.doc_id
+        """,
+        "embedding_dedup": """
+            WITH q AS (
+              SELECT vec_id,
+                     md5(array_to_string(
+                       [CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)
+                        for x in embedding], ',')) AS fp
+              FROM embeddings)
+            SELECT vec_id, fp,
+                   count(*) OVER (PARTITION BY fp) AS group_size,
+                   (vec_id = min(vec_id) OVER (PARTITION BY fp))
+                     AS is_canonical
+            FROM q
         """,
     }

@@ -46,6 +46,9 @@ HEADLINE = [
     "ann_topk",
     "multimodal_meta",
     "paragraph_dedup",
+    "repetition_stats",
+    "contamination_check",
+    "embedding_dedup",
 ]
 
 

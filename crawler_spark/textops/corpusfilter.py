@@ -1,0 +1,177 @@
+"""Corpus-level training-data filters: repetition statistics
+(Gopher-style), benchmark n-gram contamination detection, and
+quantized-embedding exact dedup.
+
+All pure Catalyst expressions over built-in functions (split / explode /
+transform / md5 / window aggregates) so the hot path stays inside
+whole-stage codegen and every operator has a bit-identical DuckDB oracle.
+
+Scale notes (the 100 TB shape):
+- ``repetition_stats``: two explode → groupBy chains, both map-side
+  combined on (doc, term) then rolled up to the doc — the shuffle volume
+  is the distinct-(doc,term) table, far below the token stream. No joins
+  except the final per-doc merge of the token and bigram rollups, which
+  co-partition on the id.
+- ``contamination_check``: the benchmark gram set is tiny relative to the
+  corpus (the whole point of a held-out benchmark), so the probe is a
+  broadcast-able semi-join; AQE picks broadcast at runtime. The corpus
+  side never shuffles on the gram — only the per-doc rollup shuffles, on
+  the id.
+- ``embedding_dedup``: one md5 fingerprint per vector inside the scan,
+  one shuffle on the fingerprint for the group window. Quantization uses
+  floor(double(x) * scale) — exact float→double widening, so the
+  fingerprint is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.textops.dedup import _grams_col
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_distinct_ratio: float = 0.2,
+    max_top_token_share: float = 0.2,
+    max_top_bigram_share: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1):
+    per-document distinct-token ratio, most-frequent-token share, and
+    most-frequent-bigram share, plus the composite ``repetition_ok`` gate.
+
+    The reference pipeline's line/paragraph duplicate fractions live in
+    ``dedup.chunk_dedup`` (the corpus is single-line); these are the
+    token-level repetition signals that complement it.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tok_agg = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    w = F.split(F.col(text_col), " ")
+    bigrams = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
+        f"element_at(split({text_col}, ' '), i + 1)))"
+    )
+    bg = df.filter(F.size(w) >= 2).select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    )
+    bg_agg = (
+        bg.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_b"))
+    )
+    distinct_ratio = F.round(F.col("n_distinct") / F.col("n_tokens"), 4)
+    top_token_share = F.round(F.col("top_c") / F.col("n_tokens"), 4)
+    top_bigram_share = F.coalesce(
+        F.round(F.col("top_b") / F.col("n_bigrams"), 4), F.lit(0.0)
+    )
+    return (
+        tok_agg.join(bg_agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            distinct_ratio.alias("distinct_ratio"),
+            top_token_share.alias("top_token_share"),
+            top_bigram_share.alias("top_bigram_share"),
+        )
+        .withColumn(
+            "repetition_ok",
+            (F.col("distinct_ratio") >= min_distinct_ratio)
+            & (F.col("top_token_share") <= max_top_token_share)
+            & (F.col("top_bigram_share") <= max_top_bigram_share),
+        )
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    bench_mod: int = 97,
+    gram: int = 8,
+    flag_ratio: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark contamination detection (GPT-3 appendix C / Pile-style):
+    flag training documents sharing token n-grams with a held-out
+    benchmark set.
+
+    The benchmark here is carved deterministically from the corpus
+    (``id % bench_mod == 0``) so tests and oracle replay it; in production
+    the benchmark grams come from the eval suites themselves — swap the
+    ``bench`` DataFrame, the plan is identical. Documents shorter than
+    ``gram`` tokens contribute their whole text as one gram (same fallback
+    as the minhash shingler).
+
+    Output: one row per non-benchmark doc — distinct-gram count, hit
+    count, contamination ratio, and the ``contaminated`` flag.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_grams_col(text_col, gram))).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col(id_col) % bench_mod == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col(id_col) % bench_mod != 0)
+    ratio = F.round(F.col("n_hits") / F.col("n_grams"), 4)
+    return (
+        corpus.join(bench, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_hits"),
+            ratio.alias("contamination_ratio"),
+            (ratio >= flag_ratio).alias("contaminated"),
+        )
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    scale: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact dedup over quantized embeddings: fingerprint =
+    md5(join(floor(double(x) * scale))) — vectors equal after coarse
+    quantization collapse to one group (the cheap first pass before
+    cosine near-dup; a re-encoded or precision-cast copy of the same
+    content hashes identically here without any pair join).
+
+    One narrow projection inside the scan plus one shuffle on the
+    fingerprint; group size and canonical flag come from a window over
+    the fingerprint, so the output keeps one row per vector.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale).cast("long").cast("string"),
+    )
+    win = Window.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), F.md5(F.array_join(q, ",")).alias("fp"))
+        .withColumn("group_size", F.count("*").over(win))
+        .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(win))
+    )

@@ -1,0 +1,106 @@
+"""Corpus-filter operator tests: Gopher-style repetition gates,
+benchmark n-gram contamination, quantized-embedding dedup — small
+constructed fixtures with hand-computed expected values (oracle parity
+at sf0.01 is additionally enforced via the driver contract)."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_values(spark):
+    from crawler_spark.textops.corpusfilter import repetition_stats
+
+    df = _docs(
+        spark,
+        [
+            (1, "a a a a b"),  # degenerate: one token dominates
+            (2, "x"),  # single token, no bigrams
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    r1 = out[1]
+    assert r1["n_tokens"] == 5
+    assert r1["distinct_ratio"] == 0.4
+    assert r1["top_token_share"] == 0.8
+    # bigrams: "a a" x3, "a b" x1 -> 3/4
+    assert r1["top_bigram_share"] == 0.75
+    assert r1["repetition_ok"] is False
+
+    r2 = out[2]
+    assert r2["n_tokens"] == 1
+    assert r2["distinct_ratio"] == 1.0
+    assert r2["top_bigram_share"] == 0.0
+    assert r2["repetition_ok"] is False  # top_token_share 1.0 > 0.2
+
+    r3 = out[3]
+    assert r3["n_tokens"] == 10
+    assert r3["distinct_ratio"] == 0.9
+    assert r3["top_token_share"] == 0.2  # "the" x2 / 10
+    assert r3["top_bigram_share"] == round(1 / 9, 4)
+    assert r3["repetition_ok"] is True
+
+
+def test_contamination_flags_copied_benchmark_text(spark):
+    from crawler_spark.textops.corpusfilter import contamination_check
+
+    bench_text = " ".join(f"w{i}" for i in range(12))  # doc 0 = benchmark
+    clean_text = " ".join(f"z{i}" for i in range(12))
+    half = " ".join(f"w{i}" for i in range(8)) + " " + " ".join(
+        f"q{i}" for i in range(8)
+    )
+    df = _docs(spark, [(0, bench_text), (1, bench_text), (2, clean_text), (3, half)])
+    out = {r["doc_id"]: r for r in contamination_check(df).collect()}
+
+    assert 0 not in out  # benchmark docs excluded from the output
+    assert out[1]["contamination_ratio"] == 1.0 and out[1]["contaminated"] is True
+    assert out[2]["n_hits"] == 0 and out[2]["contaminated"] is False
+    # doc 3 shares exactly one 8-gram (w0..w7) with the benchmark
+    assert out[3]["n_hits"] == 1
+    assert out[3]["n_grams"] == 9  # 16 tokens -> 9 distinct 8-grams
+    assert out[3]["contaminated"] is True  # 0.1 >= flag_ratio 0.1
+
+
+def test_contamination_short_doc_whole_text_gram(spark):
+    from crawler_spark.textops.corpusfilter import contamination_check
+
+    # doc 0 (benchmark) is shorter than the gram size -> whole-text gram;
+    # doc 5 repeats it verbatim, doc 6 embeds it inside a longer doc
+    # (NOT a hit: whole-text gram != any 8-gram of doc 6)
+    df = _docs(spark, [(0, "tiny doc"), (5, "tiny doc"), (6, "tiny doc " * 10 + "end")])
+    out = {r["doc_id"]: r for r in contamination_check(df).collect()}
+    assert out[5]["n_hits"] == 1 and out[5]["contaminated"] is True
+    assert out[6]["n_hits"] == 0
+
+
+def test_embedding_dedup_groups(spark):
+    from crawler_spark.textops.corpusfilter import embedding_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.11, 0.19]),
+            (2, [0.12, 0.15]),  # same 0.1-cell as vec 1
+            (3, [0.31, 0.19]),
+            (4, [-0.01, 0.19]),  # floor(-0.1) = -1: sign preserved
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in embedding_dedup(df).collect()}
+    assert out[1]["fp"] == out[2]["fp"]
+    assert out[1]["group_size"] == 2 and out[2]["group_size"] == 2
+    assert out[1]["is_canonical"] is True and out[2]["is_canonical"] is False
+    assert out[3]["group_size"] == 1 and out[3]["is_canonical"] is True
+    assert out[4]["fp"] != out[1]["fp"]
+
+
+def test_repetition_plan_stays_jvm_side(spark):
+    """No Python UDFs in the repetition plan: explode/agg only."""
+    from crawler_spark.textops.corpusfilter import repetition_stats
+
+    df = _docs(spark, [(1, "a b c")])
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
