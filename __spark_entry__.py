@@ -69,7 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from crawler_spark.textops.corpusfilter import (
         contamination_check,
         embedding_dedup,
+        pii_scan,
         repetition_stats,
+        sequence_packing,
+        stratified_sample,
     )
     from crawler_spark.textops.multimodal import extract_metadata, frame_sample_stub
     from crawler_spark.textops.similarity import (
@@ -321,6 +324,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized-embedding exact dedup (pre-pass before cosine near-dup)
         return embedding_dedup(_t(spark, sf, "embeddings"))
 
+    def pii(spark, sf):
+        # PII detection + redaction accounting (Java∩RE2 regex subset)
+        return pii_scan(_t(spark, sf, "documents"))
+
+    def packing(spark, sf):
+        # GPT-style training-sequence packing, sharded running offsets
+        return sequence_packing(_t(spark, sf, "documents"))
+
+    def strat_sample(spark, sf):
+        # deterministic hash-gated corpus-mix sampling per language
+        return stratified_sample(_t(spark, sf, "documents"))
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -358,6 +373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": repetition,
         "contamination_check": contamination,
         "embedding_dedup": emb_dedup,
+        "pii_scan": pii,
+        "sequence_packing": packing,
+        "stratified_sample": strat_sample,
     }
 
 
@@ -865,6 +883,60 @@ def oracle_sql() -> dict[str, str]:
                           / count(*), 4) >= 0.1) AS contaminated
             FROM corpus c LEFT JOIN bench b ON c.g = b.g
             GROUP BY c.doc_id
+        """,
+        "pii_scan": r"""
+            WITH p AS (
+              SELECT doc_id, text,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS INT) AS n_email,
+                     CAST(len(regexp_extract_all(text,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+                     CAST(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS INT) AS n_ipv4
+              FROM documents)
+            SELECT doc_id, n_email, n_phone, n_ipv4,
+                   n_email + n_phone + n_ipv4 AS n_pii,
+                   (n_email + n_phone + n_ipv4 > 0) AS has_pii,
+                   CAST(length(
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<PII>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PII>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g'))
+                     AS INT) AS redacted_len
+            FROM p
+        """,
+        "sequence_packing": """
+            WITH t AS (
+              SELECT doc_id, CAST(doc_id % 64 AS INT) AS shard,
+                     CAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                          END AS INT) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS st
+              FROM t)
+            SELECT doc_id, shard, n_tokens,
+                   CAST(floor(st / 2048.0) AS BIGINT) AS pack_id,
+                   CAST(st % 2048 AS BIGINT) AS offset_in_pack
+            FROM s
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+              FROM documents)
+            SELECT doc_id, lang, bucket FROM b
+            WHERE (lang = 'en' AND bucket < '80')
+               OR (lang = 'de' AND bucket < '40')
+               OR (lang = 'fr' AND bucket < '40')
+               OR (lang = 'es' AND bucket < '20')
         """,
         "embedding_dedup": """
             WITH q AS (

@@ -49,6 +49,9 @@ HEADLINE = [
     "repetition_stats",
     "contamination_check",
     "embedding_dedup",
+    "pii_scan",
+    "sequence_packing",
+    "stratified_sample",
 ]
 
 

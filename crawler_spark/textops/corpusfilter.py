@@ -149,6 +149,100 @@ def contamination_check(
     )
 
 
+# PII patterns kept to the regex intersection of Java (Spark) and RE2
+# (DuckDB/production scanners): no backrefs, no lookaround, ASCII \b.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + redaction accounting: per-doc match counts for
+    email / phone / IPv4 patterns and the redacted text length (every
+    match replaced by the fixed ``<PII>`` token, the usual pre-training
+    scrub). Pure regexp_extract_all/regexp_replace inside the scan's
+    codegen — the patterns are deliberately in the Java∩RE2 regex subset
+    so the same scan runs on any engine. Swap/extend ``PII_PATTERNS``
+    for a production taxonomy; the plan shape is unchanged.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+    redacted = t
+    for pat in PII_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, pat, "<PII>")
+    return df.select(
+        F.col(id_col),
+        *[counts[n].alias(f"n_{n}") for n in PII_PATTERNS],
+        sum(list(counts.values()), F.lit(0)).alias("n_pii"),
+        (sum(list(counts.values()), F.lit(0)) > 0).alias("has_pii"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+def sequence_packing(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing: lay documents end-to-end along a token
+    stream and cut fixed ``budget``-token sequences (GPT-style packing —
+    documents may straddle pack boundaries; the trainer inserts EOS).
+    Each doc gets (shard, pack_id, offset_in_pack).
+
+    Scale shape: a single global running sum would be one sorted task, so
+    the stream is sharded by ``id % n_shards`` and packed independently
+    per shard — the window partitions by shard and Spark sorts shards in
+    parallel (this is how production packing runs: one stream per output
+    shard/worker). Deterministic: ordering inside a shard is by id.
+    """
+    spaces = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit(" "), F.lit(""))
+    )
+    n_tokens = F.when(F.length(F.col(text_col)) == 0, 0).otherwise(spaces + 1)
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), n_tokens.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(start / budget))
+        .withColumn("offset_in_pack", (start % budget).cast("long"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, str] | None = None,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: keep a doc
+    when the first md5-hex byte of its id sorts below the stratum's
+    threshold ('80' ≈ 50%, '40' ≈ 25%, ...). Hash-gated sampling is
+    reproducible across engines and reruns (no RNG state), the standard
+    way to pin a training-mix recipe; granularity is 1/256 per hex-byte
+    threshold. Unlisted strata are dropped. Pure filter — no shuffle.
+    """
+    rates = rates or {"en": "80", "de": "40", "fr": "40", "es": "20"}
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    cond = F.lit(False)
+    for stratum, thresh in rates.items():
+        cond = cond | ((F.col(strat_col) == stratum) & (bucket < thresh))
+    return df.filter(cond).select(F.col(id_col), F.col(strat_col), bucket.alias("bucket"))
+
+
 def embedding_dedup(
     df: DataFrame,
     scale: int = 10,

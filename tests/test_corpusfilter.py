@@ -97,6 +97,61 @@ def test_embedding_dedup_groups(spark):
     assert out[4]["fp"] != out[1]["fp"]
 
 
+def test_pii_scan_counts_and_redaction(spark):
+    from crawler_spark.textops.corpusfilter import pii_scan
+
+    df = _docs(
+        spark,
+        [
+            (1, "contact alice@example.com or bob@test.org now"),
+            (2, "call 555-123-4567 from 10.0.0.1 today"),
+            (3, "clean text with no identifiers at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_pii"] == 2 and out[1]["has_pii"] is True
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    # "call <PII> from <PII> today" = 25 chars
+    assert out[2]["redacted_len"] == len("call <PII> from <PII> today")
+    assert out[3]["has_pii"] is False
+    assert out[3]["redacted_len"] == len("clean text with no identifiers at all")
+
+
+def test_sequence_packing_offsets(spark):
+    from crawler_spark.textops.corpusfilter import sequence_packing
+
+    # one shard (n_shards=1): docs of 3/4/5 tokens, budget 6
+    df = _docs(spark, [(1, "a b c"), (2, "d e f g"), (3, "h i j k l")])
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(df, budget=6, n_shards=1).collect()
+    }
+    assert out[1]["pack_id"] == 0 and out[1]["offset_in_pack"] == 0
+    assert out[2]["pack_id"] == 0 and out[2]["offset_in_pack"] == 3  # straddles
+    assert out[3]["pack_id"] == 1 and out[3]["offset_in_pack"] == 1
+    # sharded: same docs land in distinct shards, each packs from 0
+    sharded = {
+        r["doc_id"]: r
+        for r in sequence_packing(df, budget=6, n_shards=3).collect()
+    }
+    assert all(r["offset_in_pack"] == 0 for r in sharded.values())
+    assert len({r["shard"] for r in sharded.values()}) == 3
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from crawler_spark.textops.corpusfilter import stratified_sample
+
+    rows = [(i, "x", "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_sample(df, rates={"en": "80"})
+    got = sorted(r["doc_id"] for r in out.collect())
+    again = sorted(r["doc_id"] for r in stratified_sample(df, rates={"en": "80"}).collect())
+    assert got == again  # reproducible: pure hash gate, no RNG
+    assert all(i % 2 == 0 for i in got)  # zh (unlisted) fully dropped
+    # '80'/256 = 50% of the 1000 en docs, binomial 3-sigma ~ +/-47
+    assert 400 <= len(got) <= 600
+
+
 def test_repetition_plan_stays_jvm_side(spark):
     """No Python UDFs in the repetition plan: explode/agg only."""
     from crawler_spark.textops.corpusfilter import repetition_stats
