@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash_hamming_pairs,
     )
     from crawler_spark.textops.corpusfilter import (
+        bpe_token_stats,
         contamination_check,
         embedding_dedup,
         pii_scan,
@@ -336,6 +337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic hash-gated corpus-mix sampling per language
         return stratified_sample(_t(spark, sf, "documents"))
 
+    def bpe_tokens(spark, sf):
+        # token-budget estimators: BPE-ish piece count + chars/4
+        return bpe_token_stats(_t(spark, sf, "documents"))
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -376,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": pii,
         "sequence_packing": packing,
         "stratified_sample": strat_sample,
+        "bpe_token_stats": bpe_tokens,
     }
 
 
@@ -937,6 +943,22 @@ def oracle_sql() -> dict[str, str]:
                OR (lang = 'de' AND bucket < '40')
                OR (lang = 'fr' AND bucket < '40')
                OR (lang = 'es' AND bucket < '20')
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(text) = 0 THEN 0
+                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                        END AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+| ')) AS INT)
+                     AS n_bpe_pieces,
+                   round(length(text) / 4.0, 4) AS est_tokens_c4,
+                   round(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+| '))
+                     / (CASE WHEN length(text) = 0 THEN 0
+                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                        END), 4) AS pieces_per_word
+            FROM documents
         """,
         "embedding_dedup": """
             WITH q AS (

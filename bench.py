@@ -52,6 +52,7 @@ HEADLINE = [
     "pii_scan",
     "sequence_packing",
     "stratified_sample",
+    "bpe_token_stats",
 ]
 
 

@@ -315,6 +315,22 @@ def parse_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return fetched.mapInPandas(lambda it: _parse_partition(it, cfg), schema=PARSED_SCHEMA)
 
 
+def doc_eligible(cfg: CrawlConfig):
+    """Output-gate predicate over PARSED_SCHEMA rows (document_mapper.rb:
+    35-102, rule_engine/base.rb:65-82): HTML 2xx not noindex, or
+    extractable binary file, redirect chain within budget. Shared by the
+    docs view and state compaction (which must preserve the latest
+    doc-eligible row per id, not just the latest row)."""
+    return (
+        (
+            ((F.col("kind") == "html") & (~F.col("meta_noindex")))
+            | ((F.col("kind") == "file") & F.col("attachment").isNotNull())
+        )
+        & (F.col("status") >= 200) & (F.col("status") < 300)
+        & (F.size(F.coalesce(F.col("redirect_chain"), F.array())) <= cfg.max_redirects)
+    )
+
+
 def docs_from_parsed(
     parsed: DataFrame, cfg: CrawlConfig, extra_cols: tuple = ()
 ) -> DataFrame:
@@ -327,14 +343,7 @@ def docs_from_parsed(
     the crawl writes one wave file; docs are a filter+projection view of
     it). ``extra_cols`` passes bookkeeping columns (e.g. the ``wave``
     partition column) through the projection."""
-    d = parsed.filter(
-        (
-            ((F.col("kind") == "html") & (~F.col("meta_noindex")))
-            | ((F.col("kind") == "file") & F.col("attachment").isNotNull())
-        )
-        & (F.col("status") >= 200) & (F.col("status") < 300)
-        & (F.size(F.coalesce(F.col("redirect_chain"), F.array())) <= cfg.max_redirects)
-    )
+    d = parsed.filter(doc_eligible(cfg))
     path = F.regexp_replace(
         F.regexp_extract(F.col("norm_url"), r"^[a-z+.-]+://[^/]+(/[^?#]*)?", 1), r"\?.*$", ""
     )

@@ -644,6 +644,45 @@ class SparkCrawler:
             )
         return d
 
+    def compact_state(self):
+        """Maintenance pass between crawls (Iceberg table-maintenance
+        equivalent): bin-pack the seen set (the 10^10-row table — the
+        anti-join probe's scan cost is file-open bound once waves
+        accumulate) and fold the parsed table's MERGE history into data
+        files by keeping the latest row per id. Per-row wave values are
+        preserved, so ``_live_docs`` resolution, recrawl staleness
+        (``wave < base_wave``) and purge-tombstone ordering are unchanged
+        — pinned by tests/test_crawl_stages.py.
+        """
+        from pyspark.sql import Window
+
+        if self.store.exists("seen"):
+            self.store.compact("seen")
+        parsed = self.store.read("parsed")
+        if parsed is not None:
+            # keep BOTH the latest row per id (recrawl staleness) and the
+            # latest doc-eligible row per id: a page whose recrawl turned
+            # noindex/404 keeps its older doc row, matching the reference's
+            # MERGE-without-delete semantics (the purge stage, not the
+            # output gate, removes docs)
+            from crawler_spark.operators.parse import doc_eligible
+
+            w = Window.partitionBy("url_hash").orderBy(F.col("wave").desc())
+
+            def _latest(df):
+                return (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+
+            keep = (
+                _latest(parsed)
+                .unionByName(_latest(parsed.filter(doc_eligible(self.config))))
+                .dropDuplicates(["url_hash", "wave"])
+            )
+            self.store.compact("parsed", keep)
+
     # --- event stream (C5, event_generator.rb:135-246) ----------------------
 
     _EVENT_COLS = [

@@ -95,6 +95,57 @@ class StateStore:
             os.path.join(self.table_dir(name), "wave=*")
         )
 
+    def compact(self, name: str, df: DataFrame | None = None) -> str:
+        """Bin-pack a state table's files — the plain-parquet stand-in for
+        Iceberg ``rewrite_data_files`` + ``expire_snapshots``. A long crawl
+        appends one snapshot dir per wave, each with one file per write
+        task; at 10^10 URLs that is thousands of small files whose
+        open/footer cost starts to dominate the seen anti-join scan.
+
+        Reads the current table (or the caller's resolved view — pass a
+        merge-on-read resolution to also fold update history into data
+        files), rewrites it with ONE file per wave, and atomically swaps
+        the table directory (Iceberg makes this swap a metadata commit;
+        here it is two renames). Per-row ``wave`` values and the exact
+        zero-padded snapshot dir names are preserved, so recrawl/purge
+        staleness checks and manifest paths (``frontier_pending``) remain
+        valid.
+        """
+        import shutil
+
+        src = df if df is not None else self.read(name)
+        if src is None:
+            return self.table_dir(name)
+        tmp = os.path.join(self.root, f".{name}.compacting")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        # one shuffle partition per wave -> one bin-packed file per wave dir
+        src.repartition("wave").write.partitionBy("wave").mode(
+            "overwrite"
+        ).parquet(tmp)
+        # restore the append() dir-name convention (wave=00003, not wave=3)
+        for d in os.listdir(tmp):
+            if d.startswith("wave="):
+                w = int(d.split("=", 1)[1])
+                os.rename(os.path.join(tmp, d),
+                          os.path.join(tmp, f"wave={w:05d}"))
+        old = self.table_dir(name)
+        prior_waves = {d for d in os.listdir(old) if d.startswith("wave=")}
+        gone = os.path.join(self.root, f".{name}.old")
+        os.rename(old, gone)
+        os.rename(tmp, old)
+        shutil.rmtree(gone)
+        # a wave that admitted 0 rows writes no data files, so the rewrite
+        # drops its dir — restore it empty: manifest paths (frontier_pending
+        # often points at the final, empty wave) must survive compaction
+        for d in sorted(prior_waves - set(os.listdir(old))):
+            from pyspark.sql import functions as F
+
+            src.filter(F.lit(False)).drop("wave").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(old, d))
+        return old
+
     def checkpoint(self, wave: int, seq_base: int, seen_count: int, extra: dict | None = None):
         m = self.read_manifest() or {"created_at": time.time(), "waves": []}
         m["wave"] = wave

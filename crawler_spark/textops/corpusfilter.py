@@ -149,6 +149,36 @@ def contamination_check(
     )
 
 
+# GPT-2-style pre-tokenizer, reduced to the Java∩RE2 regex subset (no
+# unicode property classes, no lookahead): letter runs, single digits,
+# punctuation runs, whitespace runs. Piece count ≈ BPE token count upper
+# bound before merges — the standard cheap budget estimator.
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+| "
+
+
+def bpe_token_stats(
+    df: DataFrame, chars_per_token: float = 4.0,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget estimation beyond whitespace counting: GPT-2-ish
+    pre-tokenizer piece count (regex, digits split singly) plus the
+    chars/4 heuristic — the two standard estimators used to size
+    training shards before running a real BPE. All regexp_extract_all
+    inside the scan's codegen; no shuffle.
+    """
+    t = F.col(text_col)
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    ws_tokens = F.when(F.length(t) == 0, 0).otherwise(spaces + 1)
+    pieces = F.size(F.regexp_extract_all(t, F.lit(BPE_PIECE_RE), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        ws_tokens.alias("n_ws_tokens"),
+        pieces.alias("n_bpe_pieces"),
+        F.round(F.length(t) / chars_per_token, 4).alias("est_tokens_c4"),
+        F.round(pieces / ws_tokens, 4).alias("pieces_per_word"),
+    )
+
+
 # PII patterns kept to the regex intersection of Java (Spark) and RE2
 # (DuckDB/production scanners): no backrefs, no lookaround, ASCII \b.
 PII_PATTERNS = {

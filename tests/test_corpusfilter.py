@@ -159,3 +159,16 @@ def test_repetition_plan_stays_jvm_side(spark):
     df = _docs(spark, [(1, "a b c")])
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_token_stats_values(spark):
+    from crawler_spark.textops.corpusfilter import bpe_token_stats
+
+    df = _docs(spark, [(1, "hello world"), (2, "it's 42 C!"), (3, "word")])
+    out = {r["doc_id"]: r for r in bpe_token_stats(df).collect()}
+    # "hello world" -> [hello][ ][world] = 3 pieces, 2 ws tokens
+    assert out[1]["n_ws_tokens"] == 2 and out[1]["n_bpe_pieces"] == 3
+    # "it's 42 C!" -> [it]['][s][ ][4][2][ ][C][!] = 9 pieces
+    assert out[2]["n_bpe_pieces"] == 9 and out[2]["n_ws_tokens"] == 3
+    assert out[2]["est_tokens_c4"] == 2.5  # 10 chars / 4
+    assert out[3]["n_bpe_pieces"] == 1 and out[3]["pieces_per_word"] == 1.0

@@ -292,3 +292,74 @@ def test_full_html_extraction_opt_in(spark, tmp_path):
     off = CrawlConfig(seed_urls=(f"{HOST}/",))
     res2 = SparkCrawler(spark, off, pdf, str(tmp_path / "s2"), max_waves=10).run()
     assert "full_html" not in res2.docs.columns
+
+
+def _parquet_files(root):
+    import glob
+
+    return glob.glob(f"{root}/**/*.parquet", recursive=True)
+
+
+def test_compact_state_preserves_views(spark, tmp_path):
+    """Table maintenance: compact_state() bin-packs seen/parsed and folds
+    MERGE history without changing the docs view, the seen set, or the
+    manifest's frontier_pending path (resume stays valid)."""
+    v1 = {
+        f"{HOST}/": _page(["/a"]),
+        f"{HOST}/a": _page(["/b"]),
+        f"{HOST}/b": _page(["/c"]),
+        f"{HOST}/c": _page([]),
+    }
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), purge_crawl_enabled=False)
+    state = str(tmp_path / "state")
+    p1 = _write(spark, _rows(v1), str(tmp_path / "v.parquet"))
+    crawler = SparkCrawler(spark, cfg, p1, state, max_waves=10)
+    res = crawler.run()
+    docs_before = sorted(map(tuple, res.docs.collect()))
+    seen_before = sorted(r["norm_url"] for r in res.seen.collect())
+    files_before = len(_parquet_files(state))
+    pend = crawler.store.read_manifest()["frontier_pending"]
+    pend_before = spark.read.parquet(pend).count()
+
+    crawler.compact_state()
+
+    assert sorted(map(tuple, res.docs.collect())) == docs_before
+    assert sorted(r["norm_url"] for r in res.seen.collect()) == seen_before
+    files_after = len(_parquet_files(state))
+    assert files_after < files_before
+    # at most one bin-packed file per seen wave dir
+    import glob as g
+
+    for d in g.glob(f"{state}/seen/wave=*"):
+        assert len(_parquet_files(d)) <= 1
+    # resume contract: the pending-frontier path stays readable as before
+    assert spark.read.parquet(pend).count() == pend_before
+
+
+def test_compact_state_keeps_doc_for_noindex_recrawl(spark, tmp_path):
+    """A page whose recrawl turned noindex keeps its older doc row
+    (MERGE-without-delete): compaction must retain BOTH the latest row
+    (staleness bookkeeping) and the latest doc-eligible row per id."""
+    noindex = ('<html><head><meta name="robots" content="noindex">'
+               "</head><body>gone</body></html>")
+    v1 = {f"{HOST}/": _page(["/a"]), f"{HOST}/a": _page([])}
+    v2 = {f"{HOST}/": _page(["/a"]), f"{HOST}/a": noindex}
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), purge_crawl_enabled=False)
+    state = str(tmp_path / "state")
+    p1 = _write(spark, _rows(v1), str(tmp_path / "v1.parquet"))
+    SparkCrawler(spark, cfg, p1, state, max_waves=10).run()
+    p2 = _write(spark, _rows(v2), str(tmp_path / "v2.parquet"))
+    crawler2 = SparkCrawler(spark, cfg, p2, state, max_waves=10, recrawl=True)
+    res2 = crawler2.run()
+    docs_before = sorted(map(tuple, res2.docs.collect()))
+    assert f"{HOST}/a" in {r["url"] for r in res2.docs.collect()}
+
+    crawler2.compact_state()
+
+    assert sorted(map(tuple, res2.docs.collect())) == docs_before
+    # parsed kept two rows for /a: the noindex recrawl + the v1 doc row
+    from crawler_spark.functions.urlnorm import url_sha1
+
+    a_rows = (crawler2.store.read("parsed")
+              .filter(f"url_hash = '{url_sha1(f'{HOST}/a')}'").collect())
+    assert len(a_rows) == 2

@@ -80,3 +80,25 @@ def test_ivf_ann_assignment_broadcasts_centroids(spark, entry_queries):
     plan = _formatted_plan(entry_queries["ivf_ann_topk"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_no_global_sort(spark, entry_queries):
+    plan = _formatted_plan(entry_queries["sequence_packing"](spark, SF_DIR))
+    # the running offset windows per shard: hash exchange, never a global
+    # range sort (rangepartitioning = one sorted stream = one task at scale)
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan.lower()
+
+
+def test_pii_and_sampling_are_shuffle_free(spark, entry_queries):
+    # pure scan-side operators: no Exchange anywhere in the plan
+    for name in ("pii_scan", "stratified_sample"):
+        plan = _formatted_plan(entry_queries[name](spark, SF_DIR))
+        assert "Exchange" not in plan, name
+
+
+def test_repetition_stats_partial_aggregation(spark, entry_queries):
+    plan = _formatted_plan(entry_queries["repetition_stats"](spark, SF_DIR))
+    # both explode->agg chains map-side combine before their exchange
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
