@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from crawler_spark.textops.corpusfilter import (
         bpe_token_stats,
         contamination_check,
+        corpus_pipeline,
         embedding_dedup,
         pii_scan,
         repetition_stats,
@@ -341,6 +342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget estimators: BPE-ish piece count + chars/4
         return bpe_token_stats(_t(spark, sf, "documents"))
 
+    def pipeline_e2e(spark, sf):
+        # the composed pipeline: quality → repetition → keep-best near-dup
+        # prune → decontaminate → sequence packing
+        return corpus_pipeline(_t(spark, sf, "documents"))
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -382,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": packing,
         "stratified_sample": strat_sample,
         "bpe_token_stats": bpe_tokens,
+        "corpus_pipeline": pipeline_e2e,
     }
 
 
@@ -943,6 +950,100 @@ def oracle_sql() -> dict[str, str]:
                OR (lang = 'de' AND bucket < '40')
                OR (lang = 'fr' AND bucket < '40')
                OR (lang = 'es' AND bucket < '20')
+        """,
+        "corpus_pipeline": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+            labels AS (SELECT u AS doc_id, min(r) AS cluster_id
+                       FROM reach GROUP BY u),
+            q AS (
+              SELECT doc_id,
+                     round(CASE WHEN length(text) >= 100 AND length(text) <= 10000
+                                THEN 0.5 ELSE 0.0 END
+                           + least(round({_STOP} / ({_TOKENS}), 4) * 2, 0.5), 4)
+                       AS quality
+              FROM documents),
+            assign AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                     q.quality
+              FROM documents d
+              LEFT JOIN labels l ON d.doc_id = l.doc_id
+              JOIN q ON q.doc_id = d.doc_id),
+            keepers AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY quality DESC, doc_id ASC) AS krn
+                FROM assign)
+              WHERE krn = 1),
+            rtc AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+              GROUP BY doc_id, tok),
+            rta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           count(*) AS n_distinct, max(c) AS top_c
+                    FROM rtc GROUP BY doc_id),
+            rbc AS (
+              SELECT doc_id, bg, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest([w[i] || ' ' || w[i+1]
+                                   for i in range(1, len(w))]) AS bg
+                    FROM words WHERE len(w) >= 2)
+              GROUP BY doc_id, bg),
+            rba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_b
+                    FROM rbc GROUP BY doc_id),
+            rep AS (
+              SELECT rta.doc_id,
+                     (round(n_distinct / n_tokens, 4) >= 0.2
+                      AND round(top_c / n_tokens, 4) <= 0.2
+                      AND coalesce(round(top_b / n_bigrams, 4), 0.0) <= 0.18)
+                       AS repetition_ok
+              FROM rta LEFT JOIN rba ON rta.doc_id = rba.doc_id),
+            c8 AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(w[i:i+7], ' ')
+                        for i in range(1, len(w) - 6)])) AS g
+              FROM words WHERE len(w) >= 8
+              UNION ALL
+              SELECT doc_id, text AS g FROM words WHERE len(w) < 8),
+            cbench AS (SELECT DISTINCT g FROM c8 WHERE doc_id % 97 = 0),
+            contam AS (
+              SELECT c.doc_id,
+                     (round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                            / count(*), 4) >= 0.1) AS contaminated
+              FROM (SELECT doc_id, g FROM c8 WHERE doc_id % 97 <> 0) c
+              LEFT JOIN cbench b ON c.g = b.g
+              GROUP BY c.doc_id),
+            survivors AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN q ON q.doc_id = d.doc_id
+              JOIN rep ON rep.doc_id = d.doc_id
+              JOIN keepers k ON k.doc_id = d.doc_id
+              JOIN contam ct ON ct.doc_id = d.doc_id
+              WHERE q.quality >= 0.5 AND rep.repetition_ok
+                    AND NOT ct.contaminated),
+            pt AS (
+              SELECT doc_id, CAST(doc_id % 64 AS INT) AS shard,
+                     CAST({_TOKENS} AS INT) AS n_tokens
+              FROM survivors),
+            ps AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS st
+              FROM pt)
+            SELECT doc_id, shard, n_tokens,
+                   CAST(floor(st / 2048.0) AS BIGINT) AS pack_id,
+                   CAST(st % 2048 AS BIGINT) AS offset_in_pack
+            FROM ps
         """,
         "bpe_token_stats": """
             SELECT doc_id,

@@ -53,6 +53,7 @@ HEADLINE = [
     "sequence_packing",
     "stratified_sample",
     "bpe_token_stats",
+    "corpus_pipeline",
 ]
 
 

@@ -273,6 +273,50 @@ def stratified_sample(
     return df.filter(cond).select(F.col(id_col), F.col(strat_col), bucket.alias("bucket"))
 
 
+def corpus_pipeline(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    budget: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed training-data pipeline, end to end: heuristic quality
+    gate → Gopher repetition gate → near-dup cluster keep-best prune →
+    benchmark decontamination (benchmark docs themselves are dropped — they
+    are eval data) → GPT-style sequence packing of the survivors.
+
+    Every stage is one of this module's / dedup's operators; the joins are
+    all on the doc id (co-partitioned shuffles, AQE broadcasts the small
+    feature tables at test scale). Output: one row per surviving doc with
+    its pack placement.
+    """
+    from crawler_spark.textops.dedup import dedup_keep_best
+    from crawler_spark.textops.textstats import quality_score
+
+    q = quality_score(df, text_col, id_col).select(id_col, "quality")
+    rep = repetition_stats(df, text_col, id_col).select(id_col, "repetition_ok")
+    kb = dedup_keep_best(df, text_col=text_col, id_col=id_col).select(id_col, "keep")
+    ct = contamination_check(df, text_col=text_col, id_col=id_col).select(
+        id_col, "contaminated"
+    )
+    survivors = (
+        df.select(id_col, text_col)
+        .join(q, id_col)
+        .join(rep, id_col)
+        .join(kb, id_col)
+        .join(ct, id_col)  # inner: benchmark docs drop out here
+        .filter(
+            (F.col("quality") >= min_quality)
+            & F.col("repetition_ok")
+            & F.col("keep")
+            & ~F.col("contaminated")
+        )
+        .select(id_col, text_col)
+    )
+    return sequence_packing(survivors, budget, n_shards, text_col, id_col)
+
+
 def embedding_dedup(
     df: DataFrame,
     scale: int = 10,

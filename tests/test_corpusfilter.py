@@ -161,6 +161,37 @@ def test_repetition_plan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_corpus_pipeline_composes_gates(spark):
+    from crawler_spark.textops.corpusfilter import corpus_pipeline
+
+    good = " ".join(f"tok{i}" for i in range(40))  # 40 unique tokens, >100 chars
+    # doc 0 (benchmark, id % 97 == 0) carries the good text -> doc 194
+    # copying it is contaminated; doc 1 is an exact near-dup cluster-mate
+    # of doc 98 (keep-best prunes one); doc 2 is pure repetition; doc 3 is
+    # too short (fails the quality length gate and the repetition gate)
+    other = " ".join(f"w{i}" for i in range(40))
+    df = _docs(
+        spark,
+        [
+            (0, good),
+            (1, other),
+            (98, other),
+            (194, good),
+            (2, "spam " * 40),
+            (3, "the a and"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus_pipeline(df, n_shards=1).collect()}
+    assert 0 not in out  # benchmark doc excluded
+    assert 194 not in out  # contaminated copy of the benchmark
+    assert 2 not in out  # repetition gate
+    assert 3 not in out  # quality length gate
+    # exactly one of the near-dup pair survives (keep-best)
+    assert len({1, 98} & set(out)) == 1
+    survivor = ({1, 98} & set(out)).pop()
+    assert out[survivor]["pack_id"] == 0 and out[survivor]["offset_in_pack"] == 0
+
+
 def test_bpe_token_stats_values(spark):
     from crawler_spark.textops.corpusfilter import bpe_token_stats
 
