@@ -44,6 +44,12 @@ def main(argv=None):
     ap.add_argument("--politeness-window", type=float, default=None,
                     help="seconds of crawl-delay budget per wave (0 = off)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--recrawl", action="store_true",
+                    help="re-crawl over an existing state dir: seen set "
+                         "resets, docs history is kept for the purge stage")
+    ap.add_argument("--compact", action="store_true",
+                    help="run the state-maintenance pass after the crawl "
+                         "(bin-pack seen, fold the parsed MERGE history)")
     ap.add_argument("--no-lineage", action="store_true")
     args = ap.parse_args(argv)
 
@@ -99,9 +105,11 @@ def main(argv=None):
     pages = spark.read.parquet(args.pages)
     crawler = SparkCrawler(
         spark, config, pages, args.state,
-        max_waves=args.max_waves, resume=args.resume,
+        max_waves=args.max_waves, resume=args.resume, recrawl=args.recrawl,
     )
     res = crawler.run()
+    if args.compact:
+        crawler.compact_state()
     manifest = res.store.read_manifest()
     print(json.dumps({
         "waves": manifest["wave"],

@@ -203,3 +203,36 @@ def test_bpe_token_stats_values(spark):
     assert out[2]["n_bpe_pieces"] == 9 and out[2]["n_ws_tokens"] == 3
     assert out[2]["est_tokens_c4"] == 2.5  # 10 chars / 4
     assert out[3]["n_bpe_pieces"] == 1 and out[3]["pieces_per_word"] == 1.0
+
+
+def test_sequence_packing_matches_python_reference(spark):
+    """Randomized corpus: pack placement must equal a pure-Python running
+    simulation of the token stream per shard (budget/shard invariants)."""
+    import random
+
+    from crawler_spark.textops.corpusfilter import sequence_packing
+
+    rng = random.Random(17)
+    rows = [
+        (i, " ".join("t%d" % rng.randrange(50)
+                      for _ in range(rng.randrange(1, 60))))
+        for i in range(200)
+    ]
+    budget, shards = 37, 7
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(
+            _docs(spark, rows), budget=budget, n_shards=shards
+        ).collect()
+    }
+    cum = {}
+    for i, text in rows:  # rows are doc_id-ordered
+        sh = i % shards
+        start = cum.get(sh, 0)
+        n = len(text.split(" "))
+        r = out[i]
+        assert (r["shard"], r["n_tokens"]) == (sh, n)
+        assert r["pack_id"] == start // budget
+        assert r["offset_in_pack"] == start % budget
+        assert 0 <= r["offset_in_pack"] < budget
+        cum[sh] = start + n

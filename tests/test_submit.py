@@ -61,3 +61,11 @@ def test_spark_submit_pyfiles_and_resume(tmp_path):
     # resume on a completed state dir: no new work, same seen count
     res2 = _run_submit(zip_path, pages, state, cfg["seed_urls"], extra=("--resume",))
     assert res2["seen_count"] == res["seen_count"]
+
+    # recrawl + maintenance pass over the same state dir: the per-run seen
+    # set rebuilds to the same size and the compacted state stays readable
+    res3 = _run_submit(zip_path, pages, state, cfg["seed_urls"],
+                       extra=("--recrawl", "--compact"))
+    assert res3["seen_count"] == res["seen_count"]
+    res4 = _run_submit(zip_path, pages, state, cfg["seed_urls"], extra=("--resume",))
+    assert res4["seen_count"] == res3["seen_count"]
