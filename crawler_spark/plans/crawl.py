@@ -728,6 +728,44 @@ class SparkCrawler:
             F.lit(None).cast("string").alias("message"),
         )
 
+    def _extracted_events(self, parsed: DataFrame) -> DataFrame:
+        """url-extracted (event_generator.rb:207-220, coordinator.rb:
+        380-407): one event per fetched result after content extraction,
+        carrying the output gate's verdict. Deny reasons mirror
+        rule_engine/base.rb:66-82 in its evaluation order:
+        content_type_denied → error_denied → noindex_meta_denied →
+        too_many_redirects; everything else is an allowed success."""
+        cfg = self.config
+        reason = (
+            F.when(
+                (F.col("kind") == "unsupported")
+                | ((F.col("kind") == "file") & F.col("attachment").isNull()),
+                "content_type_denied",
+            )
+            .when((F.col("kind") == "error") | (F.col("status") >= 400), "error_denied")
+            .when((F.col("kind") == "html") & F.col("meta_noindex"), "noindex_meta_denied")
+            .when(
+                F.size(F.coalesce(F.col("redirect_chain"), F.array()))
+                > cfg.max_redirects,
+                "too_many_redirects",
+            )
+        )
+        return parsed.select(
+            F.lit("url-extracted").alias("action"),
+            F.col("norm_url").alias("url"),
+            "url_hash",
+            "depth",
+            "status",
+            F.when(reason.isNull(), "success").otherwise("denied").alias("outcome"),
+            reason.alias("deny_reason"),
+            F.lit(None).cast("string").alias("source_type"),
+            F.lit(None).cast("string").alias("source_url"),
+            F.when(
+                F.col("kind") == "redirect",
+                F.concat(F.lit("Crawler was redirected to "), F.col("location")),
+            ).alias("message"),
+        )
+
     def _output_events(self, parsed: DataFrame) -> DataFrame:
         return docs_from_parsed(parsed, self.config, extra_cols=("depth",)).select(
             F.lit("url-output").alias("action"),
@@ -769,8 +807,10 @@ class SparkCrawler:
         if dup is not None:
             out = out.unionByName(discover(dup, "url-discover"))
         if parsed is not None:
-            out = out.unionByName(self._fetch_events(parsed)).unionByName(
-                self._output_events(parsed)
+            out = (
+                out.unionByName(self._fetch_events(parsed))
+                .unionByName(self._extracted_events(parsed))
+                .unionByName(self._output_events(parsed))
             )
         return out
 

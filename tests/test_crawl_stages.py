@@ -179,6 +179,12 @@ def test_event_stream_reconciles(spark, tmp_path):
     fails = {r["url"] for r in ev.filter(
         "action = 'url-fetch' and outcome != 'success'").collect()}
     assert f"{HOST}/missing" in fails
+    # url-extracted: one per fetched result (coordinator.rb:380-407), the
+    # 404 denied by the output gate with error_denied
+    assert by_action["url-extracted"] == len(sim.fetches)
+    xden = {r["url"]: r["deny_reason"] for r in ev.filter(
+        "action = 'url-extracted' and outcome = 'denied'").collect()}
+    assert xden == {f"{HOST}/missing": "error_denied"}
     # lifecycle events (event_generator.rb:54-99): one start, one seed,
     # one stage-end + one end carrying the final outcome
     assert by_action.get("crawl-start") == 1
