@@ -173,6 +173,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.sum("c").alias("n"), F.round(F.sum("v"), 4).alias("total_value"))
         )
 
+    def event_percentiles(spark, sf):
+        # exact distribution stats per event_type: interpolated p50/p95/p99
+        # (fetch-latency SLO shape; exact `percentile`, not approx, so the
+        # oracle replays it bit-for-bit via quantile_cont)
+        ev = _t(spark, sf, "events")
+        pct = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(pct[0], 4).alias("p50"),
+            F.round(pct[1], 4).alias("p95"),
+            F.round(pct[2], 4).alias("p99"),
+        )
+
     def sessionize_hourly(spark, sf):
         # streaming-shaped tumbling-window agg (batch form)
         ev = _t(spark, sf, "events")
@@ -358,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_join": fetch_join,
         "host_salted_agg": host_salted_agg,
         "sessionize_hourly": sessionize_hourly,
+        "event_percentiles": event_percentiles,
         "top25_sorted": top25_sorted,
         "purge_antijoin": purge_antijoin,
         "pricing_summary": pricing_summary,
@@ -577,6 +591,13 @@ def oracle_sql() -> dict[str, str]:
         "host_salted_agg": """
             SELECT user_id AS host, count(*) AS n, round(sum(value), 4) AS total_value
             FROM events GROUP BY user_id
+        """,
+        "event_percentiles": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
         """,
         "sessionize_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n

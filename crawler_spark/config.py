@@ -31,6 +31,10 @@ class CrawlConfig:
     max_url_segments: int = 16
     max_url_params: int = 32
     max_redirects: int = 10
+    # download cap before the fetch becomes an Error result
+    # (api/config.rb:167 `max_response_size: 10.megabytes`,
+    # response.rb:166-171 ResponseTooLarge)
+    max_response_size: int = 10 * 1024 * 1024
     max_title_size: int = 1_000
     max_body_size: int = 5 * 1024 * 1024
     max_keywords_size: int = 512

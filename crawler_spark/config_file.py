@@ -31,6 +31,7 @@ _DIRECT_KEYS = (
     "max_url_segments",
     "max_url_params",
     "max_redirects",
+    "max_response_size",
     "max_title_size",
     "max_body_size",
     "max_keywords_size",

@@ -222,6 +222,13 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 rec["status"] = int(m.group(1))
                 out.append(rec)
                 continue
+            if len(body) >= cfg.max_response_size:
+                # ResponseTooLarge (response.rb:166-171): the download is
+                # aborted at the cap and the fetch becomes an Error result
+                # — no parse, no links, output gate denies (error_denied)
+                rec["status"] = 599
+                out.append(rec)
+                continue
             body, enc = decode_body(body, cfg.default_encoding)
             kind, location = classify_content(norm_url, decode_text(body[:512], enc))
             rec["status"] = 301 if kind == "redirect" else 200

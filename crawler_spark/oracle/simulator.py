@@ -86,6 +86,9 @@ class CrawlSimulator:
         m = STATUS_MARK.match(body)
         if m:
             return "error", int(m.group(1)), b"", None, "utf-8"
+        if len(body) >= self.config.max_response_size:
+            # ResponseTooLarge (response.rb:166-171) -> Error result
+            return "error", 599, b"", None, "utf-8"
         body, enc = decode_body(body, self.config.default_encoding)
         kind, location = classify_content(norm_url, decode_text(body[:512], enc))
         if kind == "redirect":

@@ -369,3 +369,30 @@ def test_compact_state_keeps_doc_for_noindex_recrawl(spark, tmp_path):
     a_rows = (crawler2.store.read("parsed")
               .filter(f"url_hash = '{url_sha1(f'{HOST}/a')}'").collect())
     assert len(a_rows) == 2
+
+
+def test_max_response_size_cap(spark, tmp_path):
+    """A page over max_response_size becomes an Error result — no parse,
+    no links followed, output gate denies (response.rb:166-171
+    ResponseTooLarge; api/config.rb max_response_size). Engine ≡ simulator."""
+    huge = _page(["/hidden"]) + "<!-- pad -->" * 500  # > 1 KB cap below
+    pages = {f"{HOST}/": _page(["/big", "/ok"]),
+             f"{HOST}/big": huge,
+             f"{HOST}/ok": _page([]),
+             f"{HOST}/hidden": _page([])}
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), max_response_size=1024,
+                      purge_crawl_enabled=False)
+    rows = _rows(pages)
+    p1 = _write(spark, rows, str(tmp_path / "v.parquet"))
+    res = SparkCrawler(spark, cfg, p1, str(tmp_path / "st"), max_waves=10).run()
+    sim = CrawlSimulator(rows, cfg).run()
+
+    docs = {r["url"] for r in res.docs.collect()}
+    assert docs == {d["url"] for d in sim.docs} == {f"{HOST}/", f"{HOST}/ok"}
+    # /big was fetched (seen) but errored: no doc, /hidden never discovered
+    seen = {r["norm_url"] for r in res.seen.collect()}
+    assert f"{HOST}/big" in seen and f"{HOST}/hidden" not in seen
+    ev = res.events.filter(f"url = '{HOST}/big'")
+    assert {r["action"]: r["outcome"] for r in ev.collect()} == {
+        "url-seed": "allowed", "url-fetch": "failure", "url-extracted": "denied"}
+    assert ev.filter("action = 'url-extracted'").first()["deny_reason"] == "error_denied"

@@ -237,3 +237,32 @@ def test_sitemap_reference_spec_cases():
         f"<url><loc>https://s.test/p{i}</loc></url>" for i in range(MAX_SITEMAP_URLS + 5)
     ) + "</urlset>"
     assert len(parse_sitemap(u, big)[1]) == MAX_SITEMAP_URLS
+
+
+def test_sitemap_xxe_and_entity_bomb_are_inert():
+    """Mirrors the reference's XXE integration spec (spec/integration):
+    DOCTYPE external entities and billion-laughs expansions must neither
+    resolve nor blow up — the regex-level extractor never evaluates
+    entity declarations, so the payloads are inert by construction."""
+    from crawler_spark.functions.sitemaps import parse_sitemap
+
+    u = "https://s.test/sitemap.xml"
+    xxe = (
+        "<?xml version='1.0'?>"
+        "<!DOCTYPE urlset [<!ENTITY xxe SYSTEM 'file:///etc/passwd'>]>"
+        "<urlset><url><loc>https://s.test/ok</loc></url>"
+        "<url><loc>&xxe;</loc></url></urlset>"
+    )
+    sm, cl = parse_sitemap(u, xxe)
+    assert "https://s.test/ok" in cl
+    # the external entity is never fetched/expanded; the literal reference
+    # resolves as a (harmless) relative path under the site root
+    assert not any("passwd" in c or c.startswith("file:") for c in cl)
+    bomb = (
+        "<?xml version='1.0'?>"
+        "<!DOCTYPE lolz [<!ENTITY a 'aaaa'>"
+        "<!ENTITY b '&a;&a;&a;&a;'><!ENTITY c '&b;&b;&b;&b;'>]>"
+        "<urlset><url><loc>https://s.test/x&c;</loc></url></urlset>"
+    )
+    sm, cl = parse_sitemap(u, bomb)  # must return promptly, no expansion
+    assert all(len(c) < 200 for c in cl)
