@@ -94,3 +94,34 @@ def test_truncated_archive_yields_good_prefix(spark, tmp_path):
     recs = list(iter_warc_records(data))
     assert len(recs) == 1
     assert recs[0][0]["warc-target-uri"] == "https://a.test/"
+
+
+def test_ingest_warc_job(spark, tmp_path, monkeypatch):
+    """jobs/ingest_warc.py lands a WARC archive as a crawl-ready pages
+    table (norm_url/url_hash present, url_hash-partitioned layout)."""
+    import sys
+
+    from crawler_spark.sources.warc import write_warc
+
+    warc = str(tmp_path / "seg.warc.gz")
+    write_warc(warc, [
+        {"url": "https://w.test/a", "date": "2026-01-01T00:00:00Z",
+         "body": b"<html><body>a</body></html>"},
+        {"url": "https://w.test/b", "date": "2026-01-01T00:00:01Z",
+         "body": b"<html><body>b</body></html>"},
+    ], compress=True)
+    out = str(tmp_path / "pages")
+
+    import jobs.ingest_warc as job
+
+    # reuse the test session instead of letting the job build its own
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.builder",
+        type("B", (), {"appName": lambda self, n: self,
+                       "getOrCreate": lambda self: spark})(),
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert job.main(["--warc", warc, "--out", out, "--buckets", "4"]) == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 2
+    assert {"url", "norm_url", "url_hash", "html"} <= set(df.columns)
