@@ -88,16 +88,33 @@ def minhash_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
 
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, n_hashes, gram, text_col, id_col)
-    bandkeys = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(seed, sig))), x -> x.sig)"),
-                ",",
-            ).alias("band_key")
-        )
+    # fused band-key derivation: the signatures are 16 min-aggregates over
+    # the SAME gram rows, so compute them as 16 agg columns of ONE
+    # groupBy(doc) — no 16× seed cross-join row blowup, no second
+    # (doc,seed)-shuffled aggregation, and no collect_list+sort (seed
+    # order is static, so the band key is a plain column concat). Values
+    # are identical to minhash_signatures' (same md5(seed:gram) family);
+    # the oracle and the standalone signatures query pin that equality.
+    grams = df.select(F.col(id_col), F.explode(_grams_col(text_col, gram)).alias("g"))
+    sigs_wide = grams.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"s{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"s{b * rows_per_band + i}") for i in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bandkeys = sigs_wide.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band", "bk.band_key"
     )
     w = Window.partitionBy("band", "band_key")
     # materialize the signature chain ONCE: the bucket-size window and BOTH
