@@ -73,43 +73,61 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     metadata records are skipped, matching how Common Crawl's own tooling
     selects fetch bodies."""
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(_parse_warc_partition, schema=PAGES_SCHEMA)
 
-    def parse(it):
-        import pandas as pd
 
-        for pdf in it:
-            urls, tss, bodies = [], [], []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if fpath.endswith(".gz"):
-                    try:
-                        data = gzip.decompress(data)
-                    except OSError:
-                        continue  # corrupt member: skip the file, keep the job
-                for headers, payload in iter_warc_records(data):
-                    if headers.get("warc-type") != "response":
-                        continue
-                    url = headers.get("warc-target-uri")
-                    if not url:
-                        continue
-                    body = payload
-                    if headers.get("content-type", "").startswith("application/http"):
-                        body = _http_body(payload)
-                    urls.append(url)
-                    tss.append(headers.get("warc-date"))
-                    bodies.append(body)
-            ts = pd.to_datetime(pd.Series(tss, dtype="object"), utc=True, errors="coerce")
-            yield pd.DataFrame(
-                {
-                    "url": pd.Series(urls, dtype="object"),
-                    "warc_ts": ts.dt.tz_localize(None) if len(ts) else ts,
-                    "html": pd.Series(bodies, dtype="object"),
-                    "text": pd.Series([None] * len(urls), dtype="object"),
-                    "lang": pd.Series([None] * len(urls), dtype="object"),
-                }
-            )
+def stream_warc(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming WARC ingestion: archives appearing under ``path`` become
+    pages rows incrementally (continuous Common-Crawl-drop shape). Same
+    Arrow-batched record parser as the batch reader; the file source's
+    checkpoint makes each archive exactly-once. binaryFile streaming
+    needs the source schema spelled out (no files may exist yet)."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(_parse_warc_partition, schema=PAGES_SCHEMA)
 
-    return raw.mapInPandas(parse, PAGES_SCHEMA)
+
+def _parse_warc_partition(it):
+    import pandas as pd
+
+    for pdf in it:
+        urls, tss, bodies = [], [], []
+        for fpath, content in zip(pdf["path"], pdf["content"]):
+            data = bytes(content)
+            if fpath.endswith(".gz"):
+                try:
+                    data = gzip.decompress(data)
+                except OSError:
+                    continue  # corrupt member: skip the file, keep the job
+            for headers, payload in iter_warc_records(data):
+                if headers.get("warc-type") != "response":
+                    continue
+                url = headers.get("warc-target-uri")
+                if not url:
+                    continue
+                body = payload
+                if headers.get("content-type", "").startswith("application/http"):
+                    body = _http_body(payload)
+                urls.append(url)
+                tss.append(headers.get("warc-date"))
+                bodies.append(body)
+        ts = pd.to_datetime(pd.Series(tss, dtype="object"), utc=True, errors="coerce")
+        yield pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "warc_ts": ts.dt.tz_localize(None) if len(ts) else ts,
+                "html": pd.Series(bodies, dtype="object"),
+                "text": pd.Series([None] * len(urls), dtype="object"),
+                "lang": pd.Series([None] * len(urls), dtype="object"),
+            }
+        )
 
 
 def write_warc(path: str, records: list[dict], compress: bool = False) -> None:

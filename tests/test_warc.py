@@ -125,3 +125,40 @@ def test_ingest_warc_job(spark, tmp_path, monkeypatch):
     df = spark.read.parquet(out)
     assert df.count() == 2
     assert {"url", "norm_url", "url_hash", "html"} <= set(df.columns)
+
+
+def test_stream_warc_incremental(spark, tmp_path):
+    """Streaming ingestion: archives dropped into a directory land in the
+    pages table incrementally; the checkpoint makes re-runs exactly-once
+    (an already-processed archive is never re-ingested)."""
+    import os
+
+    from crawler_spark.sources.warc import stream_warc, write_warc
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drain():
+        q = (stream_warc(spark, str(src))
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write_warc(str(src / "seg1.warc.gz"), [
+        {"url": "https://w.test/a", "date": "2026-01-01T00:00:00Z",
+         "body": b"<html>a</html>"},
+    ], compress=True)
+    _drain()
+    assert {r["url"] for r in spark.read.parquet(out).collect()} == {"https://w.test/a"}
+
+    write_warc(str(src / "seg2.warc.gz"), [
+        {"url": "https://w.test/b", "date": "2026-01-01T00:00:01Z",
+         "body": b"<html>b</html>"},
+    ], compress=True)
+    _drain()
+    rows = spark.read.parquet(out).collect()
+    assert {r["url"] for r in rows} == {"https://w.test/a", "https://w.test/b"}
+    assert len(rows) == 2  # seg1 not re-ingested
