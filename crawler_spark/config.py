@@ -35,6 +35,11 @@ class CrawlConfig:
     # (api/config.rb:167 `max_response_size: 10.megabytes`,
     # response.rb:166-171 ResponseTooLarge)
     max_response_size: int = 10 * 1024 * 1024
+    # "corpus" = offline fetch join against the pages table;
+    # "live" = real HTTP GETs (operators/fetch_live.py)
+    fetch_mode: str = "corpus"
+    # per-request socket timeout in live mode (http_executor.rb timeouts)
+    request_timeout_s: float = 10.0
     max_title_size: int = 1_000
     max_body_size: int = 5 * 1024 * 1024
     max_keywords_size: int = 512

@@ -53,7 +53,7 @@ class SparkCrawler:
         self,
         spark: SparkSession,
         config: CrawlConfig,
-        pages: DataFrame,
+        pages: DataFrame | None,
         state_dir: str,
         max_waves: int = 64,
         resume: bool = False,
@@ -61,14 +61,21 @@ class SparkCrawler:
     ):
         self.spark = spark
         self.config = config
-        # repartition by the join identity: the source parquet may arrive in
-        # a handful of file-splits, which would cap every downstream stage's
-        # parallelism (and the fetch probe) at that width
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        self.pages = prepare_pages(pages, repartition=n_part).select(
-            "url_hash", "norm_url", "html", "warc_ts"
-        )
-        self.pages.cache()
+        self.live = config.fetch_mode == "live"
+        if pages is None and not self.live:
+            raise ValueError("pages table required unless fetch_mode='live'")
+        if self.live:
+            self.pages = None
+        else:
+            # repartition by the join identity: the source parquet may
+            # arrive in a handful of file-splits, which would cap every
+            # downstream stage's parallelism (and the fetch probe) at
+            # that width
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            self.pages = prepare_pages(pages, repartition=n_part).select(
+                "url_hash", "norm_url", "html", "warc_ts"
+            )
+            self.pages.cache()
         self.store = StateStore(spark, state_dir)
         self.max_waves = max_waves
         self.resume = resume
@@ -92,6 +99,31 @@ class SparkCrawler:
         """
         sites = self.config.allowed_sites()
         rows = [(U.try_normalize(s + "/robots.txt")[0], U.url_host_key(s + "/")) for s in sites]
+        if self.live:
+            # online S2: eager per-domain GET, exactly the reference's
+            # robots_txt_service shape (driver-side, host-cardinality)
+            from ..operators.fetch_live import http_fetch_one
+
+            out = {}
+            for norm_url, host_key in rows:
+                if not norm_url:
+                    continue
+                body = http_fetch_one(
+                    norm_url, self.config.request_timeout_s,
+                    self.config.max_response_size, self.config.user_agent,
+                )
+                if body.startswith(b"<!--STATUS:"):
+                    out[host_key] = robots_mod.failed_fetch(int(body[11:14])).to_tuple()
+                elif body.startswith(b"<!--REDIRECT:"):
+                    # redirected robots: the reference treats redirect
+                    # errors as a 404-equivalent fetch failure
+                    out[host_key] = robots_mod.failed_fetch(404).to_tuple()
+                else:
+                    out[host_key] = robots_mod.parse_robots_txt(
+                        body.decode("utf-8", "replace"),
+                        base_url=norm_url, agent=self.config.user_agent,
+                    ).to_tuple()
+            return out
         robots_df = self.spark.createDataFrame(
             [(r, h, U.url_sha1(r)) for r, h in rows if r], "norm_url string, host_key string, url_hash string"
         )
@@ -293,9 +325,10 @@ class SparkCrawler:
         # materialize the corpus cache explicitly so its cost is attributed
         # (the ingest/bucketing step of the production Iceberg table, not
         # per-wave crawl work)
-        self.pages.count()
+        if not self.live:
+            self.pages.count()
         prep_s = round(time.time() - t0, 3)
-        if len(cfg.allowed_sites()) >= cfg.robots_dimension_threshold:
+        if not self.live and len(cfg.allowed_sites()) >= cfg.robots_dimension_threshold:
             # 10^8-host path: rules stay a distributed dimension; only the
             # hosts that advertise sitemaps are collected (bounded by the
             # sitemap-advertising host count, not the host count)
@@ -430,15 +463,23 @@ class SparkCrawler:
                 phases[name] = round(now - t0[0], 3)
                 t0[0] = now
 
-            # fetch (offline join) + parse, one pass
+            # fetch (offline join or live HTTP) + parse, one pass
             self._wave_caches = getattr(self, "_wave_caches", [])
-            # broadcast only genuinely small waves: broadcasting is
-            # driver-serial O(wave), so big waves take the co-partitioned
-            # shuffle-hash path (corpus cached in HashPartitioning(url_hash))
-            fetched = fetch_join(ready.select(
+            wave_cols = ready.select(
                 "url_hash", "norm_url", "task_type", "depth", "seq", "redirect_chain"
-            ), self.pages, broadcast_wave=n_ready < 100_000,
-                cache_tracker=self._wave_caches)
+            )
+            if self.live:
+                from ..operators.fetch_live import live_fetch_join
+
+                fetched = live_fetch_join(wave_cols, cfg)
+            else:
+                # broadcast only genuinely small waves: broadcasting is
+                # driver-serial O(wave), so big waves take the
+                # co-partitioned shuffle-hash path (corpus cached in
+                # HashPartitioning(url_hash))
+                fetched = fetch_join(
+                    wave_cols, self.pages, broadcast_wave=n_ready < 100_000,
+                    cache_tracker=self._wave_caches)
             parsed = parse_wave(fetched, cfg)
 
             # ONE wave-sized write serves docs (read-time view), metrics and
@@ -590,10 +631,15 @@ class SparkCrawler:
             self.outcome = ("purge", "warning", "The crawl is taking too long.")
             return wave
         self._wave_caches = []
-        fetched = fetch_join(
-            frontier, self.pages, broadcast_wave=n < 100_000,
-            cache_tracker=self._wave_caches,
-        )
+        if self.live:
+            from ..operators.fetch_live import live_fetch_join
+
+            fetched = live_fetch_join(frontier, cfg)
+        else:
+            fetched = fetch_join(
+                frontier, self.pages, broadcast_wave=n < 100_000,
+                cache_tracker=self._wave_caches,
+            )
         parsed = parse_wave(fetched, cfg)
         parsed_path = self.store.append("parsed", parsed, wave)
         purge_parsed = self.spark.read.parquet(parsed_path)

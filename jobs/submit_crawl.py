@@ -17,6 +17,10 @@ except the manifest directory, which on a cluster points at shared storage.
 
 Resume: pass ``--resume`` with the same ``--state`` dir and the crawl
 continues from the last completed wave's checkpoint.
+
+Live mode: pass ``--live`` (no ``--pages`` needed) and the engine crawls
+real sites over HTTP — robots fetched per domain, redirects discovered,
+per-host crawl-delay serialization — through the identical wave plan.
 """
 
 from __future__ import annotations
@@ -28,7 +32,10 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="crawler_spark crawl job")
-    ap.add_argument("--pages", required=True, help="pages table (parquet path)")
+    ap.add_argument("--pages", default=None,
+                    help="pages table (parquet path); omit with --live")
+    ap.add_argument("--live", action="store_true",
+                    help="fetch over real HTTP instead of an offline pages table")
     ap.add_argument("--state", required=True, help="state/checkpoint directory")
     ap.add_argument("--config", default=None,
                     help="reference-format crawler.yml (domains / crawl_rules "
@@ -52,6 +59,8 @@ def main(argv=None):
                          "(bin-pack seen, fold the parsed MERGE history)")
     ap.add_argument("--no-lineage", action="store_true")
     args = ap.parse_args(argv)
+    if not args.pages and not args.live:
+        ap.error("--pages is required unless --live is given")
 
     from pyspark.sql import SparkSession
 
@@ -81,6 +90,8 @@ def main(argv=None):
             overrides["sitemap_urls"] = tuple(args.sitemaps)
         if args.allow_domain:
             overrides["domain_allowlist"] = tuple(args.allow_domain)
+        if args.live:
+            overrides["fetch_mode"] = "live"
         if overrides:
             config = replace(config, **overrides)
     else:
@@ -100,9 +111,11 @@ def main(argv=None):
         )
         if args.allow_domain:
             kwargs["domain_allowlist"] = tuple(args.allow_domain)
+        if args.live:
+            kwargs["fetch_mode"] = "live"
         config = CrawlConfig(**kwargs)
 
-    pages = spark.read.parquet(args.pages)
+    pages = spark.read.parquet(args.pages) if args.pages else None
     crawler = SparkCrawler(
         spark, config, pages, args.state,
         max_waves=args.max_waves, resume=args.resume, recrawl=args.recrawl,

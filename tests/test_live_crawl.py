@@ -1,0 +1,97 @@
+"""Live-fetch mode e2e: the engine crawls a REAL HTTP site served on
+127.0.0.1 (the same strategy as the reference's Faux integration specs,
+spec/support/faux) — robots honored, redirects followed via discovery,
+404s recorded, docs extracted — with no pages table at all."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from crawler_spark.config import CrawlConfig
+from crawler_spark.plans.crawl import SparkCrawler
+
+SITE = {
+    "/robots.txt": ("text/plain", "User-agent: *\nDisallow: /private/\n"),
+    "/": (
+        "text/html; charset=utf-8",
+        '<html><head><title>root</title></head><body>home '
+        '<a href="/a">a</a> <a href="/private/x">p</a> '
+        '<a href="/missing">m</a> <a href="/r">r</a></body></html>',
+    ),
+    "/a": ("text/html", "<html><head><title>A</title></head>"
+                        "<body>alpha beta</body></html>"),
+    "/b": ("text/html", "<html><head><title>B</title></head>"
+                        "<body>bee</body></html>"),
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        if self.path == "/r":
+            self.send_response(302)
+            self.send_header("Location", "/b")
+            self.end_headers()
+            return
+        entry = SITE.get(self.path)
+        if entry is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        ctype, body = entry
+        payload = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *args):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def site_url():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_live_crawl_end_to_end(spark, tmp_path, site_url):
+    cfg = CrawlConfig(
+        seed_urls=(f"{site_url}/",),
+        fetch_mode="live",
+        purge_crawl_enabled=False,
+    )
+    res = SparkCrawler(
+        spark, cfg, None, str(tmp_path / "st"), max_waves=10
+    ).run()
+
+    docs = {r["url"]: r for r in res.docs.collect()}
+    assert set(docs) == {f"{site_url}/", f"{site_url}/a", f"{site_url}/b"}
+    assert docs[f"{site_url}/a"]["title"] == "A"
+    assert docs[f"{site_url}/a"]["body"] == "alpha beta"
+
+    seen = {r["norm_url"] for r in res.seen.collect()}
+    assert f"{site_url}/missing" in seen  # fetched, 404, no doc
+    assert f"{site_url}/r" in seen  # redirect result, target /b discovered
+    assert f"{site_url}/private/x" not in seen  # robots denied pre-seen
+
+    denied = {r["norm_url"]: r["deny_reason"]
+              for r in res.lineage.filter("deny_reason is not null").collect()}
+    assert denied.get(f"{site_url}/private/x") == "robots_txt_disallowed"
+
+    # non-2xx fetches (the 404 and the 302 result) are failure outcomes,
+    # same classification as corpus mode
+    fails = {r["url"] for r in res.events.filter(
+        "action = 'url-fetch' and outcome = 'failure'").collect()}
+    assert fails == {f"{site_url}/missing", f"{site_url}/r"}
+
+
+def test_live_mode_requires_no_pages_and_validates(spark, tmp_path):
+    with pytest.raises(ValueError, match="pages table required"):
+        SparkCrawler(
+            spark, CrawlConfig(seed_urls=("https://x.test/",)), None,
+            str(tmp_path / "st2"),
+        )
