@@ -65,6 +65,23 @@ def http_fetch_one(
         return f"<!--STATUS:{e.code}-->".encode()
     except Exception:
         return b"<!--STATUS:599-->"
+    # transfer decoding (http_client.rb:61-66 gzip/deflate); skip when the
+    # body hit the size cap — the max_response_size gate denies it anyway
+    cenc = (resp.headers.get("Content-Encoding", "") or "").lower()
+    if len(body) <= max_bytes and cenc in ("gzip", "x-gzip", "deflate"):
+        import gzip as _gzip
+        import zlib as _zlib
+
+        try:
+            if cenc == "deflate":
+                try:
+                    body = _zlib.decompress(body)
+                except _zlib.error:
+                    body = _zlib.decompress(body, -_zlib.MAX_WBITS)
+            else:
+                body = _gzip.decompress(body)
+        except Exception:
+            return b"<!--STATUS:599-->"
     if 300 <= status < 400:
         loc = ""
         try:

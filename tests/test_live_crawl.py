@@ -17,8 +17,11 @@ SITE = {
         "text/html; charset=utf-8",
         '<html><head><title>root</title></head><body>home '
         '<a href="/a">a</a> <a href="/private/x">p</a> '
-        '<a href="/missing">m</a> <a href="/r">r</a></body></html>',
+        '<a href="/missing">m</a> <a href="/r">r</a> '
+        '<a href="/gz">g</a></body></html>',
     ),
+    "/gz": ("text/html", "<html><head><title>GZ</title></head>"
+                         "<body>zipped words</body></html>"),
     "/a": ("text/html", "<html><head><title>A</title></head>"
                         "<body>alpha beta</body></html>"),
     "/b": ("text/html", "<html><head><title>B</title></head>"
@@ -42,6 +45,11 @@ class _Handler(BaseHTTPRequestHandler):
         payload = body.encode()
         self.send_response(200)
         self.send_header("Content-Type", ctype)
+        if self.path == "/gz":  # forced-gzip server (http_client.rb:61-66)
+            import gzip
+
+            payload = gzip.compress(payload)
+            self.send_header("Content-Encoding", "gzip")
         self.send_header("Content-Length", str(len(payload)))
         self.end_headers()
         self.wfile.write(payload)
@@ -69,9 +77,12 @@ def test_live_crawl_end_to_end(spark, tmp_path, site_url):
     ).run()
 
     docs = {r["url"]: r for r in res.docs.collect()}
-    assert set(docs) == {f"{site_url}/", f"{site_url}/a", f"{site_url}/b"}
+    assert set(docs) == {
+        f"{site_url}/", f"{site_url}/a", f"{site_url}/b", f"{site_url}/gz"}
     assert docs[f"{site_url}/a"]["title"] == "A"
     assert docs[f"{site_url}/a"]["body"] == "alpha beta"
+    # Content-Encoding: gzip transfer decoding (http_client.rb:61-66)
+    assert docs[f"{site_url}/gz"]["body"] == "zipped words"
 
     seen = {r["norm_url"] for r in res.seen.collect()}
     assert f"{site_url}/missing" in seen  # fetched, 404, no doc
