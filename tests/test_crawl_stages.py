@@ -396,3 +396,29 @@ def test_max_response_size_cap(spark, tmp_path):
     assert {r["action"]: r["outcome"] for r in ev.collect()} == {
         "url-seed": "allowed", "url-fetch": "failure", "url-extracted": "denied"}
     assert ev.filter("action = 'url-extracted'").first()["deny_reason"] == "error_denied"
+
+
+def test_ghost_host_all_404_crawl(spark, tmp_path):
+    """Seeds pointing at a host absent from the corpus: every fetch is a
+    404 Error result — the crawl terminates cleanly after wave 1 with the
+    seed seen, zero docs, zero discoveries, and the purge stage skipped."""
+    pages = {f"{HOST}/real": _page([])}  # corpus has only an unrelated host
+    cfg = CrawlConfig(seed_urls=("https://ghost.test/",))
+    p1 = _write(spark, _rows(pages), str(tmp_path / "v.parquet"))
+    res = SparkCrawler(spark, cfg, p1, str(tmp_path / "st"), max_waves=5).run()
+    assert {r["norm_url"] for r in res.seen.collect()} == {"https://ghost.test/"}
+    assert res.docs.count() == 0
+    assert res.outcome[1] == "success"
+    fetch = res.events.filter("action = 'url-fetch'").collect()
+    assert len(fetch) == 1 and fetch[0]["status"] == 404
+
+
+def test_malformed_seed_raises_before_spark(spark, tmp_path):
+    """A malformed seed fails fast at config normalization
+    (InvalidURLError), before any Spark job runs — the validator CLI path
+    reports the same error."""
+    from crawler_spark.functions.urlnorm import InvalidURLError
+
+    cfg = CrawlConfig(seed_urls=("nonsense^^^",))
+    with pytest.raises(InvalidURLError):
+        cfg.normalized_seeds()
