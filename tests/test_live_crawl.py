@@ -106,3 +106,27 @@ def test_live_mode_requires_no_pages_and_validates(spark, tmp_path):
             spark, CrawlConfig(seed_urls=("https://x.test/",)), None,
             str(tmp_path / "st2"),
         )
+
+
+def test_live_crawl_politeness_quota_waves(spark, tmp_path, site_url):
+    """Politeness × live mode: a 1-second window with a 1-second
+    crawl-delay gives each host a one-URL quota per wave, so the live
+    crawl serializes into one-fetch waves (deterministic via wave counts,
+    no timing assertions)."""
+    cfg = CrawlConfig(
+        seed_urls=(f"{site_url}/",),
+        sitemap_discovery_disabled=True,
+        fetch_mode="live",
+        purge_crawl_enabled=False,
+        politeness_window_s=1.0,
+        default_crawl_delay_s=1.0,
+    )
+    crawler = SparkCrawler(spark, cfg, None, str(tmp_path / "st"), max_waves=12)
+    res = crawler.run()
+    # same final result set as the unthrottled crawl…
+    assert {r["url"] for r in res.docs.collect()} == {
+        f"{site_url}/", f"{site_url}/a", f"{site_url}/b", f"{site_url}/gz"}
+    # …but serialized into one-fetch waves by the host quota
+    waves = crawler.store.read_manifest()["waves"]
+    readies = [w["ready"] for w in waves if "ready" in w]
+    assert all(r <= 1 for r in readies) and len(readies) >= 5
