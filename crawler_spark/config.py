@@ -38,6 +38,9 @@ class CrawlConfig:
     # "corpus" = offline fetch join against the pages table;
     # "live" = real HTTP GETs (operators/fetch_live.py)
     fetch_mode: str = "corpus"
+    # live mode: HEAD pre-flight skips downloads of unsupported content
+    # types (http_executor.rb:48-50 `head_requests_enabled`)
+    head_requests_enabled: bool = False
     # per-request socket timeout in live mode (http_executor.rb timeouts)
     request_timeout_s: float = 10.0
     max_title_size: int = 1_000

@@ -38,13 +38,22 @@ def http_fetch_one(
     timeout_s: float = 10.0,
     max_bytes: int = 10 * 1024 * 1024,
     user_agent: str = "Elastic-Crawler",
+    head_first: bool = False,
+    extractable_mimes: tuple = (),
 ) -> bytes:
     """One GET, redirects NOT followed, response adapted to the corpus
     marker conventions. Network/DNS/timeout errors become
     ``<!--STATUS:599-->`` (the reference maps transport exceptions to
     Error results, http_executor.rb:103-132); bodies are cut at
     ``max_bytes + 1`` so the engine's max_response_size gate fires
-    without buffering an unbounded response."""
+    without buffering an unbounded response.
+
+    ``head_first`` mirrors ``head_requests_enabled``
+    (http_executor.rb:48-50): a HEAD pre-flight skips the body download
+    entirely when the Content-Type is neither parseable text nor a
+    configured extractable binary type — the unsupported MIME marker is
+    produced from headers alone. HEAD failures fall through to the GET
+    (servers that 405 HEAD must not break the crawl)."""
     import urllib.error
     import urllib.request
 
@@ -52,8 +61,29 @@ def http_fetch_one(
         def redirect_request(self, *a, **k):  # 3xx is a result, not a hop
             return None
 
-    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
     opener = urllib.request.build_opener(_NoRedirect)
+    if head_first:
+        try:
+            hreq = urllib.request.Request(
+                url, method="HEAD", headers={"User-Agent": user_agent}
+            )
+            with opener.open(hreq, timeout=timeout_s) as hresp:
+                hmime = (
+                    (hresp.headers.get("Content-Type", "") or "")
+                    .split(";")[0].strip().lower()
+                )
+            path = U.url_path(url)
+            is_text = (
+                hmime in ("text/html", "application/xhtml+xml", "", "text/plain")
+                or hmime.endswith("xml")
+                or path.endswith("/robots.txt")
+            )
+            if not is_text and hmime not in extractable_mimes:
+                return f"<!--MIME:{hmime}-->".encode()  # body never fetched
+        except Exception:
+            pass  # 405/other: fall through to the normal GET
+
+    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
     try:
         with opener.open(req, timeout=timeout_s) as resp:
             status = resp.status
@@ -121,6 +151,8 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
     max_bytes = cfg.max_response_size
     agent = cfg.user_agent
     delay = cfg.default_crawl_delay_s
+    head_first = cfg.head_requests_enabled
+    extractable = tuple(cfg.binary_content_extraction_mime_types or ())
 
     def fetch(it):
         import time as _time
@@ -137,7 +169,8 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
                     wait = last_by_host.get(host, 0) + delay - _time.monotonic()
                     if wait > 0:
                         _time.sleep(wait)
-                bodies.append(http_fetch_one(url, timeout, max_bytes, agent))
+                bodies.append(http_fetch_one(
+                    url, timeout, max_bytes, agent, head_first, extractable))
                 last_by_host[host] = _time.monotonic()
                 stamps.append(pd.Timestamp.utcnow().tz_localize(None))
             out = pdf.copy()

@@ -702,8 +702,11 @@ class SparkCrawler:
         """
         from pyspark.sql import Window
 
-        if self.store.exists("seen"):
-            self.store.compact("seen")
+        # append-only tables: pure bin-pack (no history folding needed)
+        for name in ("seen", "lineage", "events", "metrics", "purged",
+                     "frontier_pending"):
+            if self.store.exists(name):
+                self.store.compact(name)
         parsed = self.store.read("parsed")
         if parsed is not None:
             # keep BOTH the latest row per id (recrawl staleness) and the

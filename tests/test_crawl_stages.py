@@ -323,6 +323,8 @@ def test_compact_state_preserves_views(spark, tmp_path):
     res = crawler.run()
     docs_before = sorted(map(tuple, res.docs.collect()))
     seen_before = sorted(r["norm_url"] for r in res.seen.collect())
+    lineage_before = res.lineage.count()
+    events_before = res.events.count()
     files_before = len(_parquet_files(state))
     pend = crawler.store.read_manifest()["frontier_pending"]
     pend_before = spark.read.parquet(pend).count()
@@ -331,6 +333,8 @@ def test_compact_state_preserves_views(spark, tmp_path):
 
     assert sorted(map(tuple, res.docs.collect())) == docs_before
     assert sorted(r["norm_url"] for r in res.seen.collect()) == seen_before
+    assert res.lineage.count() == lineage_before
+    assert res.events.count() == events_before
     files_after = len(_parquet_files(state))
     assert files_after < files_before
     # at most one bin-packed file per seen wave dir

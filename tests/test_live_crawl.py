@@ -130,3 +130,68 @@ def test_live_crawl_politeness_quota_waves(spark, tmp_path, site_url):
     waves = crawler.store.read_manifest()["waves"]
     readies = [w["ready"] for w in waves if "ready" in w]
     assert all(r <= 1 for r in readies) and len(readies) >= 5
+
+
+def test_live_head_preflight_skips_binary_download(spark, tmp_path):
+    """head_requests_enabled (http_executor.rb:48-50): a HEAD pre-flight
+    classifies /blob as an unsupported binary and the body is NEVER
+    GET-downloaded; the page is seen, denied by the output gate, and the
+    server's method log proves no GET hit the blob."""
+    calls = []
+
+    class _H(BaseHTTPRequestHandler):
+        def _respond(self, send_body):
+            calls.append((self.command, self.path))
+            if self.path == "/":
+                payload = (b'<html><head><title>r</title></head>'
+                           b'<body>x <a href="/blob">b</a></body></html>')
+                ctype = "text/html"
+            elif self.path == "/blob":
+                payload = b"\x00" * 4096
+                ctype = "application/octet-stream"
+            elif self.path == "/robots.txt":
+                payload = b"User-agent: *\nAllow: /\n"
+                ctype = "text/plain"
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            if send_body:
+                self.wfile.write(payload)
+
+        def do_GET(self):
+            self._respond(True)
+
+        def do_HEAD(self):
+            self._respond(False)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            seed_urls=(f"{base}/",),
+            fetch_mode="live",
+            head_requests_enabled=True,
+            purge_crawl_enabled=False,
+        )
+        res = SparkCrawler(spark, cfg, None, str(tmp_path / "st"), max_waves=5).run()
+        assert {r["url"] for r in res.docs.collect()} == {f"{base}/"}
+        assert f"{base}/blob" in {r["norm_url"] for r in res.seen.collect()}
+        xt = {r["url"]: r["deny_reason"] for r in res.events.filter(
+            "action = 'url-extracted' and outcome = 'denied'").collect()}
+        assert xt.get(f"{base}/blob") == "content_type_denied"
+        # the blob was HEADed, never GETted
+        assert ("HEAD", "/blob") in calls
+        assert ("GET", "/blob") not in calls
+        # html pages go HEAD -> GET (pre-flight then download)
+        assert ("GET", "/") in calls
+    finally:
+        server.shutdown()
