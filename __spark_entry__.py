@@ -257,6 +257,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whole-corpus term-frequency table (integer-exact LM stand-in)
         return rare_token_stats(_t(spark, sf, "documents"))
 
+    def tfidf(spark, sf):
+        # top-3 terms per doc by smoothed TF-IDF (one explode, Zipf-small
+        # DF table joined back, per-doc window — no global sort)
+        from crawler_spark.textops.ranking import tfidf_topk
+
+        return tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+    def bm25(spark, sf):
+        # BM25 for a fixed query, zero-explode: replace-length term counts
+        # in codegen + one broadcast corpus-stats row
+        from crawler_spark.textops.ranking import bm25_score
+
+        return bm25_score(_t(spark, sf, "documents"), terms=_BM25_TERMS)
+
     def minhash_sigs(spark, sf):
         return minhash_signatures(_t(spark, sf, "documents"))
 
@@ -380,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": langid,
         "doc_fingerprint": doc_fingerprint,
         "rare_token_stats": rare_tokens,
+        "tfidf_topk": tfidf,
+        "bm25_score": bm25,
         "minhash_signatures": minhash_sigs,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash": simhash_fps,
@@ -430,6 +446,9 @@ def _occ(t: str, w: str) -> str:
 
 _TOKENS = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
 _STOP = f"({_occ('text', 'the')} + {_occ('text', 'a')} + {_occ('text', 'and')})"
+
+# BM25 demo query terms — mid-frequency words of the synthetic corpus
+_BM25_TERMS = ["spark", "vector", "merge"]
 
 # shared minhash CTE chain (signatures → band keys → bucket-capped pairs);
 # the 64-doc bucket cap mirrors crawler_spark.textops.dedup.minhash_lsh_pairs:
@@ -670,6 +689,52 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS rare_ratio
             FROM toks t JOIN tf f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks
+              WHERE tok <> '' GROUP BY doc_id, tok),
+            dft AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT f.doc_id, f.tok, f.tf,
+                     round(f.tf * (ln((n.n_docs + 1.0) / (d.df_t + 1.0)) + 1.0), 4)
+                       AS score
+              FROM tf f JOIN dft d USING (tok) CROSS JOIN nd n)
+            SELECT doc_id, tok, tf, score, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, tok ASC) AS rnk
+              FROM scored) WHERE rnk <= 3
+        """,
+        "bm25_score": f"""
+            WITH occ AS (
+              SELECT doc_id, {_TOKENS} AS dl,
+                     {_occ('text', _BM25_TERMS[0])} AS occ_0,
+                     {_occ('text', _BM25_TERMS[1])} AS occ_1,
+                     {_occ('text', _BM25_TERMS[2])} AS occ_2
+              FROM documents),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     sum(dl) AS sum_dl,
+                     sum(CASE WHEN occ_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                     sum(CASE WHEN occ_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                     sum(CASE WHEN occ_2 > 0 THEN 1 ELSE 0 END) AS df_2
+              FROM occ),
+            st AS (SELECT *, sum_dl / n_docs AS avgdl FROM stats)
+            SELECT doc_id, dl, bm25 FROM (
+              SELECT o.doc_id, o.dl,
+                round(0.0
+                  + ln(1.0 + (s.n_docs - s.df_0 + 0.5) / (s.df_0 + 0.5))
+                    * (o.occ_0 * 2.2 / (o.occ_0 + 1.2 * (0.25 + 0.75 * o.dl / s.avgdl)))
+                  + ln(1.0 + (s.n_docs - s.df_1 + 0.5) / (s.df_1 + 0.5))
+                    * (o.occ_1 * 2.2 / (o.occ_1 + 1.2 * (0.25 + 0.75 * o.dl / s.avgdl)))
+                  + ln(1.0 + (s.n_docs - s.df_2 + 0.5) / (s.df_2 + 0.5))
+                    * (o.occ_2 * 2.2 / (o.occ_2 + 1.2 * (0.25 + 0.75 * o.dl / s.avgdl)))
+                , 4) AS bm25
+              FROM occ o CROSS JOIN st s)
+            WHERE bm25 > 0
         """,
         "minhash_signatures": """
             WITH words AS (

@@ -43,6 +43,17 @@ class CrawlConfig:
     head_requests_enabled: bool = False
     # per-request socket timeout in live mode (http_executor.rb timeouts)
     request_timeout_s: float = 10.0
+    # live mode: hosts fetched concurrently within a partition (the
+    # reference's executor thread pool, executor.rb/http_executor.rb);
+    # same-host requests stay serialized under crawl_delay regardless.
+    # 1 = fully sequential per partition
+    live_fetch_threads: int = 8
+    # live mode: adaptive per-host pacing — the delay before the next
+    # request to a host becomes max(crawl_delay, factor * last response
+    # latency), capped at adaptive_delay_max_s (Heritrix's public
+    # delay-factor/max-delay-ms politeness knobs). 0 = fixed crawl_delay
+    adaptive_delay_factor: float = 0.0
+    adaptive_delay_max_s: float = 30.0
     max_title_size: int = 1_000
     max_body_size: int = 5 * 1024 * 1024
     max_keywords_size: int = 512

@@ -139,12 +139,87 @@ def http_fetch_one(
     return prefix + body
 
 
+def fetch_urls(
+    urls: list,
+    *,
+    timeout_s: float = 10.0,
+    max_bytes: int = 10 * 1024 * 1024,
+    user_agent: str = "Elastic-Crawler",
+    delay_s: float = 0.0,
+    head_first: bool = False,
+    extractable_mimes: tuple = (),
+    threads: int = 1,
+    last_by_host: dict | None = None,
+    adaptive_factor: float = 0.0,
+    adaptive_max_s: float = 30.0,
+):
+    """Fetch a batch of URLs with per-host politeness: same-host requests
+    run strictly in list order with ``delay_s`` between them; DIFFERENT
+    hosts run concurrently on up to ``threads`` workers (the reference's
+    executor thread pool, http_executor.rb via executor concurrency —
+    network wait is the bottleneck, so host-parallelism is the whole
+    live-mode speedup). Returns (bodies, monotonic_done_times) aligned to
+    the input order. ``last_by_host`` carries delay bookkeeping across
+    batches (mutated in place).
+
+    ``adaptive_factor`` > 0 enables latency-adaptive pacing: the wait
+    before the NEXT request to a host is
+    ``max(delay_s, min(factor * last_latency, adaptive_max_s))`` — a slow
+    (overloaded) host automatically gets more breathing room. This is
+    Heritrix's published delay-factor/max-delay politeness model."""
+    import time as _time
+
+    if last_by_host is None:
+        last_by_host = {}
+    n = len(urls)
+    bodies: list = [None] * n
+    done_at: list = [0.0] * n
+    delay_by_host: dict[str, float] = {}
+    by_host: dict[str, list[int]] = {}
+    for i, u in enumerate(urls):
+        by_host.setdefault(U.url_host_key(u), []).append(i)
+
+    def run_host(host: str, idxs: list) -> None:
+        for i in idxs:
+            eff_delay = (
+                delay_by_host.get(host, delay_s) if adaptive_factor > 0 else delay_s
+            )
+            if eff_delay > 0:
+                wait = last_by_host.get(host, 0) + eff_delay - _time.monotonic()
+                if wait > 0:
+                    _time.sleep(wait)
+            t0 = _time.monotonic()
+            bodies[i] = http_fetch_one(
+                urls[i], timeout_s, max_bytes, user_agent, head_first,
+                extractable_mimes,
+            )
+            now = _time.monotonic()
+            last_by_host[host] = now
+            done_at[i] = now
+            if adaptive_factor > 0:
+                delay_by_host[host] = max(
+                    delay_s, min(adaptive_factor * (now - t0), adaptive_max_s)
+                )
+
+    if threads <= 1 or len(by_host) == 1:
+        for host, idxs in by_host.items():
+            run_host(host, idxs)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(threads, len(by_host))) as ex:
+            for f in [ex.submit(run_host, h, ix) for h, ix in by_host.items()]:
+                f.result()
+    return bodies, done_at
+
+
 def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """The live counterpart of ``fetch_join``: same input wave columns,
     same output schema (wave + html + warc_ts), bodies from real GETs.
     Host-hashed repartition keeps each host on one task so the
     crawl-delay sleep between same-host requests actually serializes
-    that host's traffic."""
+    that host's traffic; within a task, distinct hosts fetch in parallel
+    on ``cfg.live_fetch_threads`` workers."""
     import pandas as pd
 
     timeout = cfg.request_timeout_s
@@ -153,6 +228,9 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
     delay = cfg.default_crawl_delay_s
     head_first = cfg.head_requests_enabled
     extractable = tuple(cfg.binary_content_extraction_mime_types or ())
+    threads = cfg.live_fetch_threads
+    adaptive_factor = cfg.adaptive_delay_factor
+    adaptive_max = cfg.adaptive_delay_max_s
 
     def fetch(it):
         import time as _time
@@ -162,17 +240,20 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values("norm_url", kind="stable")
-            bodies, stamps = [], []
-            for url in pdf["norm_url"]:
-                host = U.url_host_key(url)
-                if delay > 0:
-                    wait = last_by_host.get(host, 0) + delay - _time.monotonic()
-                    if wait > 0:
-                        _time.sleep(wait)
-                bodies.append(http_fetch_one(
-                    url, timeout, max_bytes, agent, head_first, extractable))
-                last_by_host[host] = _time.monotonic()
-                stamps.append(pd.Timestamp.utcnow().tz_localize(None))
+            bodies, done_at = fetch_urls(
+                list(pdf["norm_url"]),
+                timeout_s=timeout, max_bytes=max_bytes, user_agent=agent,
+                delay_s=delay, head_first=head_first,
+                extractable_mimes=extractable, threads=threads,
+                last_by_host=last_by_host,
+                adaptive_factor=adaptive_factor,
+                adaptive_max_s=adaptive_max,
+            )
+            # per-row fetch-completion wall time from the monotonic marks
+            wall_base = _time.time() - _time.monotonic()
+            stamps = [
+                pd.Timestamp(wall_base + t, unit="s").round("us") for t in done_at
+            ]
             out = pdf.copy()
             out["html"] = pd.Series(bodies, index=pdf.index, dtype="object")
             out["warc_ts"] = pd.Series(stamps, index=pdf.index)

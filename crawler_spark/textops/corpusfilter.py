@@ -105,32 +105,46 @@ def contamination_check(
     flag_ratio: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark contamination detection (GPT-3 appendix C / Pile-style):
     flag training documents sharing token n-grams with a held-out
     benchmark set.
 
-    The benchmark here is carved deterministically from the corpus
-    (``id % bench_mod == 0``) so tests and oracle replay it; in production
-    the benchmark grams come from the eval suites themselves — swap the
-    ``bench`` DataFrame, the plan is identical. Documents shorter than
-    ``gram`` tokens contribute their whole text as one gram (same fallback
-    as the minhash shingler).
+    ``benchmark``: a DataFrame of held-out eval texts (any frame with a
+    ``text_col`` column — load eval-suite files with
+    ``benchmark_from_file``). When omitted, the benchmark is carved
+    deterministically from the corpus (``id % bench_mod == 0``) so tests
+    and the oracle can replay it; the plan is identical either way (the
+    benchmark gram set is eval-suite-sized, i.e. tiny vs the corpus, so
+    the probe join broadcasts). Documents shorter than ``gram`` tokens
+    contribute their whole text as one gram (same fallback as the minhash
+    shingler).
 
-    Output: one row per non-benchmark doc — distinct-gram count, hit
-    count, contamination ratio, and the ``contaminated`` flag.
+    Output: one row per training doc — distinct-gram count, hit count,
+    contamination ratio, and the ``contaminated`` flag.
     """
     grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(_grams_col(text_col, gram))).alias("g"),
     )
-    bench = (
-        grams.filter(F.col(id_col) % bench_mod == 0)
-        .select("g")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    corpus = grams.filter(F.col(id_col) % bench_mod != 0)
+    if benchmark is not None:
+        bench = (
+            benchmark.select(
+                F.explode(F.array_distinct(_grams_col(text_col, gram))).alias("g")
+            )
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        corpus = grams
+    else:
+        bench = (
+            grams.filter(F.col(id_col) % bench_mod == 0)
+            .select("g")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        corpus = grams.filter(F.col(id_col) % bench_mod != 0)
     ratio = F.round(F.col("n_hits") / F.col("n_grams"), 4)
     return (
         corpus.join(bench, "g", "left")
@@ -342,4 +356,18 @@ def embedding_dedup(
         df.select(F.col(id_col), F.md5(F.array_join(q, ",")).alias("fp"))
         .withColumn("group_size", F.count("*").over(win))
         .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(win))
+    )
+
+
+def benchmark_from_file(spark, path: str, text_col: str = "text") -> DataFrame:
+    """Load a held-out eval-suite file for ``contamination_check``:
+    ``.jsonl``/``.json`` rows with a ``text`` field, or plain text with
+    one benchmark item per line. The result is a tiny frame — the
+    contamination probe join broadcasts it."""
+    if path.endswith((".jsonl", ".json")):
+        return spark.read.json(path).select(F.col(text_col))
+    return (
+        spark.read.text(path)
+        .filter(F.col("value") != "")
+        .select(F.col("value").alias(text_col))
     )

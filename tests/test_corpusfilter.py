@@ -236,3 +236,43 @@ def test_sequence_packing_matches_python_reference(spark):
         assert r["offset_in_pack"] == start % budget
         assert 0 <= r["offset_in_pack"] < budget
         cum[sh] = start + n
+
+
+def test_contamination_external_benchmark_file(spark, tmp_path):
+    from crawler_spark.textops.corpusfilter import (
+        benchmark_from_file,
+        contamination_check,
+    )
+
+    bench_text = " ".join(f"w{i}" for i in range(12))
+    clean_text = " ".join(f"z{i}" for i in range(12))
+    bench_file = tmp_path / "evals.txt"
+    bench_file.write_text(bench_text + "\n\n" + "other eval item\n")
+    bench = benchmark_from_file(spark, str(bench_file))
+    assert bench.count() == 2  # blank line dropped
+
+    # with an external benchmark, EVERY corpus doc is scored (no carve-out)
+    df = _docs(spark, [(0, bench_text), (1, clean_text)])
+    out = {r["doc_id"]: r for r in contamination_check(df, benchmark=bench).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["contamination_ratio"] == 1.0 and out[0]["contaminated"] is True
+    assert out[1]["n_hits"] == 0 and out[1]["contaminated"] is False
+
+
+def test_contamination_jsonl_benchmark(spark, tmp_path):
+    import json
+
+    from crawler_spark.textops.corpusfilter import (
+        benchmark_from_file,
+        contamination_check,
+    )
+
+    items = [{"text": "alpha beta gamma"}, {"text": "delta epsilon zeta"}]
+    bench_file = tmp_path / "evals.jsonl"
+    bench_file.write_text("\n".join(json.dumps(i) for i in items))
+    bench = benchmark_from_file(spark, str(bench_file))
+
+    df = _docs(spark, [(10, "alpha beta gamma"), (11, "unrelated words here")])
+    out = {r["doc_id"]: r for r in contamination_check(df, benchmark=bench).collect()}
+    assert out[10]["contaminated"] is True
+    assert out[11]["contaminated"] is False

@@ -195,3 +195,86 @@ def test_live_head_preflight_skips_binary_download(spark, tmp_path):
         assert ("GET", "/") in calls
     finally:
         server.shutdown()
+
+
+def test_fetch_urls_host_parallel_and_polite(site_url):
+    """Distinct hosts fetch concurrently; same-host requests stay
+    serialized with crawl_delay between them. 127.0.0.1 and localhost
+    alias the same server but are distinct politeness hosts."""
+    import time
+
+    from crawler_spark.operators.fetch_live import fetch_urls
+
+    port = site_url.rsplit(":", 1)[1]
+    host_a = [f"http://127.0.0.1:{port}{p}" for p in ("/", "/a", "/b")]
+    host_b = [f"http://localhost:{port}{p}" for p in ("/", "/a", "/b")]
+    urls = host_a + host_b
+    delay = 0.6
+
+    t0 = time.monotonic()
+    bodies, done_at = fetch_urls(urls, delay_s=delay, threads=8)
+    elapsed = time.monotonic() - t0
+
+    # bodies arrive aligned to input order and non-empty
+    assert len(bodies) == 6 and all(b and b"title" in b for b in bodies)
+    # per-host serialization: consecutive same-host completions spaced
+    # by at least ~crawl_delay
+    for idxs in ((0, 1, 2), (3, 4, 5)):
+        times = [done_at[i] for i in idxs]
+        assert times == sorted(times)
+        assert all(b - a >= delay * 0.9 for a, b in zip(times, times[1:]))
+    # host-parallel: both hosts overlapped — total well under the
+    # sequential floor of 4 inter-request delays (2.4s)
+    assert elapsed < 2 * delay * 2 * 0.9 + 0.5
+
+    # threaded and sequential modes produce identical bodies
+    seq_bodies, _ = fetch_urls(urls, delay_s=0.0, threads=1)
+    assert bodies == seq_bodies
+
+
+def test_fetch_urls_adaptive_delay_backs_off_slow_host():
+    """Heritrix-style delay-factor pacing: a host whose responses take
+    ~0.3s gets ~factor*latency between requests; a fast host with the
+    same settings is not slowed beyond the base delay."""
+    import time
+
+    class _Slow(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/slow"):
+                time.sleep(0.3)
+            body = b"<html><head><title>s</title></head><body>x</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    from crawler_spark.operators.fetch_live import fetch_urls
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Slow)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        port = server.server_address[1]
+        slow = [f"http://127.0.0.1:{port}/slow{i}" for i in range(3)]
+        fast = [f"http://localhost:{port}/fast{i}" for i in range(3)]
+
+        _, done_slow = fetch_urls(slow, delay_s=0.0, adaptive_factor=2.0)
+        gaps = [b - a for a, b in zip(done_slow, done_slow[1:])]
+        # wait(2*~0.3s) + latency(~0.3s) between completions
+        assert all(g >= 0.75 for g in gaps), gaps
+
+        _, done_fast = fetch_urls(fast, delay_s=0.0, adaptive_factor=2.0)
+        fgaps = [b - a for a, b in zip(done_fast, done_fast[1:])]
+        # fast host: latency ~ms → adaptive delay ~ms, no slow-down
+        assert all(g < 0.2 for g in fgaps), fgaps
+
+        # cap honored: huge factor clamps to adaptive_max_s
+        t0 = time.monotonic()
+        fetch_urls(slow[:2], delay_s=0.0, adaptive_factor=100.0,
+                   adaptive_max_s=0.5)
+        assert time.monotonic() - t0 < 2.5  # 2 fetches + one 0.5s wait
+    finally:
+        server.shutdown()

@@ -346,3 +346,74 @@ def test_rare_token_stats_hand_computed(spark):
     assert (out[2].n_tokens, out[2].n_rare, out[2].rare_ratio) == (3, 2, 0.6667)
     # doc 3: qzx, wvu, dog each tf=1 → 3 of 4 rare
     assert (out[3].n_tokens, out[3].n_rare, out[3].rare_ratio) == (4, 3, 0.75)
+
+
+def test_tfidf_topk_hand_computed(spark):
+    from crawler_spark.textops.ranking import tfidf_topk
+
+    # 'rare' appears only in doc 1 → highest idf there; 'the' is in every
+    # doc → lowest idf
+    texts = [
+        (1, "the rare rare word"),
+        (2, "the common word"),
+        (3, "the common word"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.rnk)
+    assert len(by_doc[1]) == 2 and all(len(v) <= 2 for v in by_doc.values())
+    # doc 1 top term is 'rare' (tf=2, df=1 → idf = ln(4/2)+1)
+    top = by_doc[1][0]
+    assert top.tok == "rare" and top.tf == 2
+    assert abs(top.score - 2 * (math.log(4 / 2) + 1)) < 1e-3
+    # 'the' (df=3 → idf = ln(4/4)+1 = 1.0) scores exactly 1.0 everywhere
+    the_rows = [r for r in out if r.tok == "the"]
+    assert the_rows and all(r.score == 1.0 for r in the_rows)
+    # ranks are 1..k with deterministic tie-break
+    assert [r.rnk for r in by_doc[2]] == [1, 2]
+
+
+def test_bm25_monotonic_in_tf_and_zero_when_absent(spark):
+    from crawler_spark.textops.ranking import bm25_score
+
+    texts = [
+        (1, "spark spark spark filler filler filler"),
+        (2, "spark filler filler filler filler filler"),
+        (3, "filler filler filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bm25_score(df, terms=["spark"]).collect()}
+    # doc 3 has no query term → filtered out; equal doc lengths → more
+    # tf strictly wins
+    assert set(out) == {1, 2}
+    assert out[1].bm25 > out[2].bm25 > 0
+    assert out[1].dl == 6
+
+
+def test_bm25_length_normalization(spark):
+    from crawler_spark.textops.ranking import bm25_score
+
+    # same tf=1, shorter doc must score higher (b=0.75 length penalty)
+    texts = [
+        (1, "spark filler"),
+        (2, "spark filler filler filler filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bm25_score(df, terms=["spark"]).collect()}
+    assert out[1].bm25 > out[2].bm25
+
+
+def test_bm25_plan_is_single_pass(spark):
+    """No explode/generate and no per-doc shuffle: the only exchange in
+    the plan feeds the 1-row corpus-stats aggregate + its broadcast
+    back onto the scan."""
+    from crawler_spark.textops.ranking import bm25_score
+
+    df = spark.createDataFrame([(1, "spark a")], ["doc_id", "text"])
+    plan = bm25_score(df, terms=["spark", "merge"])._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
