@@ -54,6 +54,21 @@ class CrawlConfig:
     # delay-factor/max-delay-ms politeness knobs). 0 = fixed crawl_delay
     adaptive_delay_factor: float = 0.0
     adaptive_delay_max_s: float = 30.0
+    # per-domain Authorization headers (http_header_service.rb): tuple of
+    # {"domain": site, "type": "basic", "username", "password"} or
+    # {"domain": site, "type": "raw", "header"}; matched on url.site,
+    # last match wins (authorization_header_for_url)
+    domain_auth: tuple = ()
+    # whether credential-bearing URLs (userinfo) may be fetched over
+    # plain http (config.rb:72, http_executor.rb:44-46; default false)
+    http_auth_allowed: bool = False
+    # forward proxy for all live requests (api/config.rb:83-88,170-175;
+    # empty host = no proxying). Credentials become Proxy-Authorization
+    http_proxy_host: str = ""
+    http_proxy_port: int = 8080
+    http_proxy_protocol: str = "http"
+    http_proxy_username: str = ""
+    http_proxy_password: str = ""
     max_title_size: int = 1_000
     max_body_size: int = 5 * 1024 * 1024
     max_keywords_size: int = 512

@@ -46,6 +46,13 @@ _DIRECT_KEYS = (
     "user_agent",
     "purge_crawl_enabled",
     "url_queue_size_limit",
+    "http_auth_allowed",
+    "head_requests_enabled",
+    "http_proxy_host",
+    "http_proxy_port",
+    "http_proxy_protocol",
+    "http_proxy_username",
+    "http_proxy_password",
 )
 
 _RUBY_INT_RE = re.compile(r"\A\d[\d_]*\Z")
@@ -70,6 +77,7 @@ def config_from_dict(doc: dict) -> tuple[CrawlConfig, dict]:
     allowlist: list[str] = []
     crawl_rules: dict = {}
     extraction_rules: dict = {}
+    domain_auth: list[dict] = []
     for dom in domains:
         dom = {str(k): v for k, v in dom.items()}
         url = dom["url"]
@@ -86,6 +94,13 @@ def config_from_dict(doc: dict) -> tuple[CrawlConfig, dict]:
         rulesets = dom.get("extraction_rulesets") or []
         if rulesets:
             extraction_rules[site] = rulesets
+        auth = dom.get("auth")
+        if auth:
+            # per-domain Authorization (http_header_service.rb; matched on
+            # url.site like all_auth_headers, api/config.rb:448-460)
+            entry = {str(k): v for k, v in auth.items()}
+            entry["domain"] = site
+            domain_auth.append(entry)
 
     if seed_urls:
         kwargs["seed_urls"] = tuple(seed_urls)
@@ -97,6 +112,8 @@ def config_from_dict(doc: dict) -> tuple[CrawlConfig, dict]:
         kwargs["crawl_rules"] = crawl_rules
     if extraction_rules:
         kwargs["extraction_rules"] = extraction_rules
+    if domain_auth:
+        kwargs["domain_auth"] = tuple(domain_auth)
 
     if "max_duration" in doc:  # seconds in the reference (config.rb:96)
         kwargs["max_duration_s"] = float(_coerce(doc.pop("max_duration")))

@@ -33,6 +33,41 @@ FETCHED_COLS = (
 )
 
 
+def auth_header_for_url(url: str, auth_configs: tuple) -> str | None:
+    """Authorization header value for ``url`` from the per-domain auth
+    list (http_header_service.rb:74-97 ``authorization_header_for_url``):
+    entries match when their ``domain`` equals the URL's site
+    (scheme://host[:port]); LAST matching entry wins. ``basic`` builds
+    ``Basic base64(user:pass)``; ``raw`` passes the header through."""
+    import base64
+
+    site = U.url_site(url)
+    value = None
+    for a in auth_configs or ():
+        if a.get("domain") != site:
+            continue
+        if a.get("type") == "basic":
+            cred = f"{a.get('username', '')}:{a.get('password', '')}"
+            value = "Basic " + base64.b64encode(cred.encode()).decode()
+        elif a.get("type") == "raw":
+            value = a.get("header")
+    return value
+
+
+def proxy_url_from_config(cfg: CrawlConfig) -> str | None:
+    """Forward-proxy URL from the http_proxy_* settings
+    (api/config.rb:83-88); None when no proxy host is configured."""
+    if not cfg.http_proxy_host:
+        return None
+    cred = ""
+    if cfg.http_proxy_username:
+        cred = f"{cfg.http_proxy_username}:{cfg.http_proxy_password}@"
+    return (
+        f"{cfg.http_proxy_protocol}://{cred}"
+        f"{cfg.http_proxy_host}:{cfg.http_proxy_port}"
+    )
+
+
 def http_fetch_one(
     url: str,
     timeout_s: float = 10.0,
@@ -40,6 +75,8 @@ def http_fetch_one(
     user_agent: str = "Elastic-Crawler",
     head_first: bool = False,
     extractable_mimes: tuple = (),
+    authorization: str | None = None,
+    proxy_url: str | None = None,
 ) -> bytes:
     """One GET, redirects NOT followed, response adapted to the corpus
     marker conventions. Network/DNS/timeout errors become
@@ -61,12 +98,20 @@ def http_fetch_one(
         def redirect_request(self, *a, **k):  # 3xx is a result, not a hop
             return None
 
-    opener = urllib.request.build_opener(_NoRedirect)
+    headers = {"User-Agent": user_agent}
+    if authorization:
+        headers["Authorization"] = authorization
+    handlers = [_NoRedirect]
+    if proxy_url:
+        # urllib's ProxyHandler turns userinfo in the proxy URL into a
+        # Proxy-Authorization: Basic header (config.rb:83-88 semantics)
+        handlers.append(
+            urllib.request.ProxyHandler({"http": proxy_url, "https": proxy_url})
+        )
+    opener = urllib.request.build_opener(*handlers)
     if head_first:
         try:
-            hreq = urllib.request.Request(
-                url, method="HEAD", headers={"User-Agent": user_agent}
-            )
+            hreq = urllib.request.Request(url, method="HEAD", headers=headers)
             with opener.open(hreq, timeout=timeout_s) as hresp:
                 hmime = (
                     (hresp.headers.get("Content-Type", "") or "")
@@ -83,7 +128,7 @@ def http_fetch_one(
         except Exception:
             pass  # 405/other: fall through to the normal GET
 
-    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+    req = urllib.request.Request(url, headers=headers)
     try:
         with opener.open(req, timeout=timeout_s) as resp:
             status = resp.status
@@ -152,6 +197,9 @@ def fetch_urls(
     last_by_host: dict | None = None,
     adaptive_factor: float = 0.0,
     adaptive_max_s: float = 30.0,
+    auth_configs: tuple = (),
+    http_auth_allowed: bool = False,
+    proxy_url: str | None = None,
 ):
     """Fetch a batch of URLs with per-host politeness: same-host requests
     run strictly in list order with ``delay_s`` between them; DIFFERENT
@@ -189,9 +237,28 @@ def fetch_urls(
                 if wait > 0:
                     _time.sleep(wait)
             t0 = _time.monotonic()
+            target = urls[i]
+            auth = auth_header_for_url(target, auth_configs)
+            # credential-bearing URLs: denied over plain http unless
+            # http_auth_allowed (http_executor.rb:44-46 -> an Error
+            # result); otherwise the userinfo becomes the Basic header
+            scheme, rest = target.split("://", 1)
+            netloc, sep, tail = rest.partition("/")
+            if "@" in netloc:
+                userinfo, bare_host = netloc.rsplit("@", 1)
+                if scheme == "http" and not http_auth_allowed:
+                    bodies[i] = b"<!--STATUS:599-->"
+                    now = _time.monotonic()
+                    last_by_host[host] = now
+                    done_at[i] = now
+                    continue
+                import base64 as _b64
+
+                target = f"{scheme}://{bare_host}{sep}{tail}"
+                auth = "Basic " + _b64.b64encode(userinfo.encode()).decode()
             bodies[i] = http_fetch_one(
-                urls[i], timeout_s, max_bytes, user_agent, head_first,
-                extractable_mimes,
+                target, timeout_s, max_bytes, user_agent, head_first,
+                extractable_mimes, authorization=auth, proxy_url=proxy_url,
             )
             now = _time.monotonic()
             last_by_host[host] = now
@@ -231,6 +298,9 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
     threads = cfg.live_fetch_threads
     adaptive_factor = cfg.adaptive_delay_factor
     adaptive_max = cfg.adaptive_delay_max_s
+    auth_configs = tuple(cfg.domain_auth or ())
+    auth_allowed = cfg.http_auth_allowed
+    proxy = proxy_url_from_config(cfg)
 
     def fetch(it):
         import time as _time
@@ -248,6 +318,9 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
                 last_by_host=last_by_host,
                 adaptive_factor=adaptive_factor,
                 adaptive_max_s=adaptive_max,
+                auth_configs=auth_configs,
+                http_auth_allowed=auth_allowed,
+                proxy_url=proxy,
             )
             # per-row fetch-completion wall time from the monotonic marks
             wall_base = _time.time() - _time.monotonic()

@@ -108,9 +108,18 @@ class SparkCrawler:
             for norm_url, host_key in rows:
                 if not norm_url:
                     continue
+                from ..operators.fetch_live import (
+                    auth_header_for_url,
+                    proxy_url_from_config,
+                )
+
                 body = http_fetch_one(
                     norm_url, self.config.request_timeout_s,
                     self.config.max_response_size, self.config.user_agent,
+                    authorization=auth_header_for_url(
+                        norm_url, tuple(self.config.domain_auth or ())
+                    ),
+                    proxy_url=proxy_url_from_config(self.config),
                 )
                 if body.startswith(b"<!--STATUS:"):
                     out[host_key] = robots_mod.failed_fetch(int(body[11:14])).to_tuple()

@@ -90,3 +90,25 @@ def test_top_level_seed_urls_without_domains():
     cfg, _ = config_from_dict({"seed_urls": ["https://b.test/x"]})
     assert cfg.seed_urls == ("https://b.test/x",)
     assert cfg.domain_allowlist == ()  # derived from seeds at crawl time
+
+
+def test_domain_auth_parsed_and_keyed_by_site():
+    from crawler_spark.config_file import config_from_dict
+
+    cfg, _ = config_from_dict({
+        "domains": [
+            {"url": "https://secure.test",
+             "auth": {"type": "basic", "username": "u", "password": "p"}},
+            {"url": "https://open.test"},
+            {"url": "https://token.test:8443",
+             "auth": {"type": "raw", "header": "Bearer tok"}},
+        ],
+        "http_auth_allowed": True,
+    })
+    assert cfg.http_auth_allowed is True
+    assert cfg.domain_auth == (
+        {"type": "basic", "username": "u", "password": "p",
+         "domain": "https://secure.test"},
+        {"type": "raw", "header": "Bearer tok",
+         "domain": "https://token.test:8443"},
+    )

@@ -278,3 +278,168 @@ def test_fetch_urls_adaptive_delay_backs_off_slow_host():
         assert time.monotonic() - t0 < 2.5  # 2 fetches + one 0.5s wait
     finally:
         server.shutdown()
+
+
+def test_auth_header_for_url_matching():
+    """basic → Basic base64(user:pass); raw passes through; matched on
+    url.site with last-match-wins (http_header_service.rb:74-97)."""
+    import base64
+
+    from crawler_spark.operators.fetch_live import auth_header_for_url
+
+    auth = (
+        {"domain": "https://a.test", "type": "basic",
+         "username": "u", "password": "p"},
+        {"domain": "https://b.test", "type": "raw", "header": "Bearer tok"},
+        {"domain": "https://a.test", "type": "raw", "header": "Bearer last"},
+    )
+    expected_basic = "Basic " + base64.b64encode(b"u:p").decode()
+    assert auth_header_for_url("https://b.test/x", auth) == "Bearer tok"
+    # last matching entry wins
+    assert auth_header_for_url("https://a.test/x", auth) == "Bearer last"
+    assert auth_header_for_url("https://c.test/x", auth) is None
+    # port is part of the site
+    assert auth_header_for_url("https://a.test:8443/x", auth) is None
+    assert auth_header_for_url("https://a.test/x", auth[:1]) == expected_basic
+
+
+def test_live_crawl_basic_auth_domain(spark, tmp_path):
+    """A site that 401s without credentials crawls fully once the domain
+    carries basic auth in the config (reference domains[].auth)."""
+    import base64
+
+    expected = "Basic " + base64.b64encode(b"crawler:secret").decode()
+
+    class _Auth(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/robots.txt" and \
+                    self.headers.get("Authorization") != expected:
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", "Basic realm=t")
+                self.end_headers()
+                return
+            body = (b"User-agent: *\n" if self.path == "/robots.txt" else
+                    b'<html><head><title>t</title></head>'
+                    b'<body>private <a href="/p">p</a></body></html>')
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Auth)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        cfg_noauth = CrawlConfig(
+            seed_urls=(f"{base}/",), fetch_mode="live",
+            purge_crawl_enabled=False, lineage_enabled=False)
+        res = SparkCrawler(spark, cfg_noauth, None,
+                           str(tmp_path / "s1"), max_waves=3).run()
+        assert res.docs.count() == 0  # 401 everywhere -> no docs
+
+        cfg_auth = CrawlConfig(
+            seed_urls=(f"{base}/",), fetch_mode="live",
+            purge_crawl_enabled=False, lineage_enabled=False,
+            domain_auth=({"domain": base, "type": "basic",
+                          "username": "crawler", "password": "secret"},))
+        res = SparkCrawler(spark, cfg_auth, None,
+                           str(tmp_path / "s2"), max_waves=3).run()
+        assert res.docs.count() == 2  # / and /p
+    finally:
+        server.shutdown()
+
+
+def test_fetch_urls_userinfo_gate():
+    """Credential-bearing URLs over plain http are an Error result unless
+    http_auth_allowed; when allowed, the userinfo becomes Basic auth
+    (http_executor.rb:44-46)."""
+    import base64
+
+    expected = "Basic " + base64.b64encode(b"u:pw").decode()
+    seen_auth = []
+
+    class _Echo(BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen_auth.append(self.headers.get("Authorization"))
+            body = b"<html><head><title>t</title></head><body>x</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    from crawler_spark.operators.fetch_live import fetch_urls
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Echo)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        port = server.server_address[1]
+        url = f"http://u:pw@127.0.0.1:{port}/x"
+        bodies, _ = fetch_urls([url], http_auth_allowed=False)
+        assert bodies[0] == b"<!--STATUS:599-->" and not seen_auth
+
+        bodies, _ = fetch_urls([url], http_auth_allowed=True)
+        assert b"title" in bodies[0]
+        assert seen_auth == [expected]
+    finally:
+        server.shutdown()
+
+
+def test_fetch_urls_via_forward_proxy():
+    """With http_proxy_* configured, requests route through the proxy
+    (absolute-form request line) carrying Proxy-Authorization from the
+    proxy credentials (api/config.rb:83-88)."""
+    import base64
+
+    requests_seen = []
+
+    class _Proxy(BaseHTTPRequestHandler):
+        def do_GET(self):
+            # a forward proxy receives the absolute URI in the request line
+            requests_seen.append(
+                (self.path, self.headers.get("Proxy-Authorization"))
+            )
+            body = b"<html><head><title>via-proxy</title></head><body>x</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.operators.fetch_live import (
+        fetch_urls,
+        proxy_url_from_config,
+    )
+
+    proxy = ThreadingHTTPServer(("127.0.0.1", 0), _Proxy)
+    threading.Thread(target=proxy.serve_forever, daemon=True).start()
+    try:
+        pport = proxy.server_address[1]
+        cfg = CrawlConfig(
+            seed_urls=("http://upstream.test/",),
+            http_proxy_host="127.0.0.1", http_proxy_port=pport,
+            http_proxy_username="pu", http_proxy_password="pp")
+        purl = proxy_url_from_config(cfg)
+        assert purl == f"http://pu:pp@127.0.0.1:{pport}"
+
+        bodies, _ = fetch_urls(
+            ["http://upstream.test/page"], proxy_url=purl)
+        assert b"via-proxy" in bodies[0]
+        path, pauth = requests_seen[0]
+        assert path == "http://upstream.test/page"  # absolute-form = proxied
+        assert pauth == "Basic " + base64.b64encode(b"pu:pp").decode()
+
+        assert proxy_url_from_config(CrawlConfig(seed_urls=("http://a/",))) is None
+    finally:
+        proxy.shutdown()
