@@ -69,6 +69,10 @@ class CrawlConfig:
     http_proxy_protocol: str = "http"
     http_proxy_username: str = ""
     http_proxy_password: str = ""
+    # archive every fetched page as WARC under <dir>/wave=N/ (one file
+    # per partition, executor-side — sources/warc.py export_warc). The
+    # fetched frame is persisted for the wave so live mode never re-GETs
+    warc_export_dir: str = ""
     max_title_size: int = 1_000
     max_body_size: int = 5 * 1024 * 1024
     max_keywords_size: int = 512

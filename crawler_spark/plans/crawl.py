@@ -489,6 +489,22 @@ class SparkCrawler:
                 fetched = fetch_join(
                     wave_cols, self.pages, broadcast_wave=n_ready < 100_000,
                     cache_tracker=self._wave_caches)
+            if cfg.warc_export_dir:
+                # archive the wave (url, warc_ts, html) as WARC before the
+                # parse consumes it; the persist makes the export action
+                # populate the cache so live mode fetches each URL once
+                import os as _os
+
+                from pyspark.storagelevel import StorageLevel
+
+                from ..sources.warc import export_warc
+
+                fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+                self._wave_caches.append(fetched)
+                export_warc(
+                    fetched.withColumnRenamed("norm_url", "url"),
+                    _os.path.join(cfg.warc_export_dir, f"wave={wave}"),
+                ).collect()
             parsed = parse_wave(fetched, cfg)
 
             # ONE wave-sized write serves docs (read-time view), metrics and

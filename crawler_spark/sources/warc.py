@@ -159,3 +159,68 @@ def write_warc(path: str, records: list[dict], compress: bool = False) -> None:
         data = gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def export_warc(df: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
+    """Distributed WARC export sink: the inverse of ``read_warc``. Any
+    pages-shaped frame (url, warc_ts, html) becomes one WARC file per
+    partition, written executor-side (no driver collect — at 100 TB each
+    task streams its partition straight to its own archive, the same
+    one-archive-per-task unit the ingestion side schedules on).
+
+    ``.warc.gz`` output is written as per-record gzip members — Common
+    Crawl's convention, which keeps records independently seekable and is
+    exactly what ``read_warc``'s multi-member decompress consumes.
+
+    Returns a 1-row-per-file frame (path, n_records); trigger with
+    ``.collect()``. Empty partitions produce no file.
+    """
+    import os
+
+    suffix = ".warc.gz" if compress else ".warc"
+
+    def write_partition(it):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        n = 0
+        f = None
+        try:
+            for pdf in it:
+                if len(pdf) and f is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    f = open(path, "wb")
+                for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                    body = bytes(html) if html is not None else b""
+                    payload = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + body
+                    )
+                    date = (
+                        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and ts == ts
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    head = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: response\r\n"
+                        f"WARC-Target-URI: {url}\r\n"
+                        f"WARC-Date: {date}\r\n"
+                        "Content-Type: application/http; msgtype=response\r\n"
+                        f"Content-Length: {len(payload)}\r\n"
+                        "\r\n"
+                    ).encode()
+                    rec = head + payload + b"\r\n\r\n"
+                    f.write(gzip.compress(rec) if compress else rec)
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
+        if n:
+            yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    return df.select("url", "warc_ts", "html").mapInPandas(
+        write_partition, schema="path string, n_records long"
+    )

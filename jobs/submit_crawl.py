@@ -58,6 +58,8 @@ def main(argv=None):
                     help="run the state-maintenance pass after the crawl "
                          "(bin-pack seen, fold the parsed MERGE history)")
     ap.add_argument("--no-lineage", action="store_true")
+    ap.add_argument("--warc-export", default=None, metavar="DIR",
+                    help="archive every fetched page as WARC under DIR/wave=N/")
     args = ap.parse_args(argv)
     if not args.pages and not args.live:
         ap.error("--pages is required unless --live is given")
@@ -92,6 +94,8 @@ def main(argv=None):
             overrides["domain_allowlist"] = tuple(args.allow_domain)
         if args.live:
             overrides["fetch_mode"] = "live"
+        if args.warc_export:
+            overrides["warc_export_dir"] = args.warc_export
         if overrides:
             config = replace(config, **overrides)
     else:
@@ -113,6 +117,8 @@ def main(argv=None):
             kwargs["domain_allowlist"] = tuple(args.allow_domain)
         if args.live:
             kwargs["fetch_mode"] = "live"
+        if args.warc_export:
+            kwargs["warc_export_dir"] = args.warc_export
         config = CrawlConfig(**kwargs)
 
     pages = spark.read.parquet(args.pages) if args.pages else None

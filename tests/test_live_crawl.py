@@ -443,3 +443,45 @@ def test_fetch_urls_via_forward_proxy():
         assert proxy_url_from_config(CrawlConfig(seed_urls=("http://a/",))) is None
     finally:
         proxy.shutdown()
+
+
+def test_live_crawl_warc_archive_no_double_fetch(spark, tmp_path, site_url):
+    """warc_export_dir archives every fetched page as WARC per wave; the
+    persist guarantees live mode still GETs each URL exactly once, and
+    read_warc round-trips the archive."""
+    from collections import Counter
+
+    from crawler_spark.sources.warc import read_warc
+
+    counts: Counter = Counter()
+    orig_do_get = _Handler.do_GET
+
+    def counting_get(self):
+        counts[self.path] += 1
+        orig_do_get(self)
+
+    _Handler.do_GET = counting_get
+    try:
+        warc_dir = str(tmp_path / "archive")
+        cfg = CrawlConfig(
+            seed_urls=(f"{site_url}/",), fetch_mode="live",
+            purge_crawl_enabled=False, lineage_enabled=False,
+            warc_export_dir=warc_dir)
+        res = SparkCrawler(spark, cfg, None, str(tmp_path / "st"),
+                           max_waves=5).run()
+        n_docs = res.docs.count()
+        assert n_docs >= 3
+
+        # every URL the server saw was requested exactly once
+        dupes = {p: c for p, c in counts.items() if c > 1}
+        assert not dupes, dupes
+
+        back = read_warc(spark, warc_dir + "/wave=*/*.warc.gz")
+        archived = {r.url for r in back.select("url").collect()}
+        # every page wave-fetched (incl. 404s/redirects as marker bodies)
+        # is archived; all docs' URLs are present
+        doc_urls = {r.url for r in res.docs.select("url").collect()}
+        assert doc_urls <= archived
+        assert back.count() == sum(counts.values()) - 1  # minus robots.txt
+    finally:
+        _Handler.do_GET = orig_do_get

@@ -162,3 +162,38 @@ def test_stream_warc_incremental(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r["url"] for r in rows} == {"https://w.test/a", "https://w.test/b"}
     assert len(rows) == 2  # seg1 not re-ingested
+
+
+def test_export_warc_round_trip(spark, tmp_path):
+    """export_warc (distributed, per-partition archives) → read_warc
+    reproduces the exact (url, body) set; .gz uses per-record members."""
+    import datetime
+
+    from crawler_spark.sources.warc import export_warc, read_warc
+
+    rows = [
+        (f"https://site{i}.test/p{i}",
+         datetime.datetime(2026, 1, 1, 12, 0, i),
+         f"<html><body>doc {i}</body></html>".encode())
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+
+    out = sorted(
+        export_warc(df.repartition(3), str(tmp_path / "gz"), compress=True).collect()
+    )
+    assert sum(r.n_records for r in out) == 10
+    assert all(r.path.endswith(".warc.gz") for r in out)
+    assert 1 <= len(out) <= 3  # one file per non-empty partition
+
+    back = read_warc(spark, str(tmp_path / "gz") + "/*.warc.gz")
+    got = {(r.url, bytes(r.html)) for r in back.collect()}
+    assert got == {(u, b) for u, _, b in rows}
+
+    # uncompressed round trip too
+    export_warc(df, str(tmp_path / "plain"), compress=False).collect()
+    back2 = read_warc(spark, str(tmp_path / "plain") + "/*.warc")
+    assert back2.count() == 10
+    # timestamps survive the round trip (second precision)
+    ts = {r.url: r.warc_ts for r in back2.collect()}
+    assert ts["https://site3.test/p3"] == datetime.datetime(2026, 1, 1, 12, 0, 3)
