@@ -257,6 +257,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whole-corpus term-frequency table (integer-exact LM stand-in)
         return rare_token_stats(_t(spark, sf, "documents"))
 
+    def revisit(spark, sf):
+        # freshness scheduling: per-entity change rate from the event
+        # history -> next-visit interval (one window shuffle, reused rollup)
+        from crawler_spark.operators.revisit import revisit_schedule
+
+        ev = _t(spark, sf, "events").select(
+            F.col("user_id").alias("url"),
+            F.col("ts").alias("warc_ts"),
+            F.col("value").alias("fp"),
+        )
+        return revisit_schedule(ev)
+
     def tfidf(spark, sf):
         # top-3 terms per doc by smoothed TF-IDF (one explode, Zipf-small
         # DF table joined back, per-doc window — no global sort)
@@ -396,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_stats": rare_tokens,
         "tfidf_topk": tfidf,
         "bm25_score": bm25,
+        "revisit_schedule": revisit,
         "minhash_signatures": minhash_sigs,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash": simhash_fps,
@@ -689,6 +702,27 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS rare_ratio
             FROM toks t JOIN tf f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "revisit_schedule": """
+            WITH h AS (
+              SELECT user_id AS url, ts, value AS fp,
+                     lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, value) AS prev
+              FROM events),
+            a AS (
+              SELECT url, count(*) AS n_obs,
+                     sum(CASE WHEN prev IS NOT NULL AND fp <> prev
+                              THEN 1 ELSE 0 END) AS n_changes,
+                     max(ts) AS last_seen
+              FROM h GROUP BY url)
+            SELECT url, n_obs, n_changes,
+                   round(CAST(n_changes AS DOUBLE) / (n_obs - 1), 4)
+                     AS change_rate,
+                   round(86400.0 / (round(CAST(n_changes AS DOUBLE)
+                                          / (n_obs - 1), 4) + 0.1), 4)
+                     AS interval_s,
+                   last_seen
+            FROM a WHERE n_obs >= 2
         """,
         "tfidf_topk": """
             WITH toks AS (

@@ -54,6 +54,9 @@ HEADLINE = [
     "stratified_sample",
     "bpe_token_stats",
     "corpus_pipeline",
+    "tfidf_topk",
+    "bm25_score",
+    "revisit_schedule",
 ]
 
 

@@ -73,6 +73,12 @@ class CrawlConfig:
     # per partition, executor-side — sources/warc.py export_warc). The
     # fetched frame is persisted for the wave so live mode never re-GETs
     warc_export_dir: str = ""
+    # TLS verification for live fetches (api/config.rb:80-81,169-170):
+    # "full" (cert + hostname), "certificate" (cert only), "none";
+    # ssl_ca_certificates: extra trusted CAs (PEM file paths or inline
+    # "-----BEGIN CERTIFICATE-----" strings)
+    ssl_verification_mode: str = "full"
+    ssl_ca_certificates: tuple = ()
     max_title_size: int = 1_000
     max_body_size: int = 5 * 1024 * 1024
     max_keywords_size: int = 512

@@ -53,6 +53,7 @@ _DIRECT_KEYS = (
     "http_proxy_protocol",
     "http_proxy_username",
     "http_proxy_password",
+    "ssl_verification_mode",
 )
 
 _RUBY_INT_RE = re.compile(r"\A\d[\d_]*\Z")
@@ -120,6 +121,10 @@ def config_from_dict(doc: dict) -> tuple[CrawlConfig, dict]:
     if "binary_content_extraction_mime_types" in doc:
         kwargs["binary_content_extraction_mime_types"] = tuple(
             doc.pop("binary_content_extraction_mime_types") or ()
+        )
+    if "ssl_ca_certificates" in doc:  # PEM paths or inline PEM blocks
+        kwargs["ssl_ca_certificates"] = tuple(
+            doc.pop("ssl_ca_certificates") or ()
         )
     for key in _DIRECT_KEYS:
         if key in doc:

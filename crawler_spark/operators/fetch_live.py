@@ -54,6 +54,38 @@ def auth_header_for_url(url: str, auth_configs: tuple) -> str | None:
     return value
 
 
+_SSL_CTX_CACHE: dict = {}
+
+
+def ssl_context_for(mode: str = "full", ca_certificates: tuple = ()):
+    """TLS context per the reference's ssl_verification_mode
+    (api/config.rb:80-81; http_client.rb SSL setup): ``full`` verifies
+    certificate + hostname, ``certificate`` skips the hostname check,
+    ``none`` disables verification. ``ca_certificates`` entries are PEM
+    file paths or inline PEM strings added to the trust store. Contexts
+    aren't picklable, so executors build them lazily from these plain
+    values (cached per process)."""
+    import ssl
+
+    key = (mode, tuple(ca_certificates or ()))
+    ctx = _SSL_CTX_CACHE.get(key)
+    if ctx is not None:
+        return ctx
+    ctx = ssl.create_default_context()
+    for ca in ca_certificates or ():
+        if "-----BEGIN" in ca:
+            ctx.load_verify_locations(cadata=ca)
+        else:
+            ctx.load_verify_locations(cafile=ca)
+    if mode == "certificate":
+        ctx.check_hostname = False
+    elif mode == "none":
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    _SSL_CTX_CACHE[key] = ctx
+    return ctx
+
+
 def proxy_url_from_config(cfg: CrawlConfig) -> str | None:
     """Forward-proxy URL from the http_proxy_* settings
     (api/config.rb:83-88); None when no proxy host is configured."""
@@ -77,6 +109,8 @@ def http_fetch_one(
     extractable_mimes: tuple = (),
     authorization: str | None = None,
     proxy_url: str | None = None,
+    ssl_mode: str = "full",
+    ssl_cas: tuple = (),
 ) -> bytes:
     """One GET, redirects NOT followed, response adapted to the corpus
     marker conventions. Network/DNS/timeout errors become
@@ -107,6 +141,12 @@ def http_fetch_one(
         # Proxy-Authorization: Basic header (config.rb:83-88 semantics)
         handlers.append(
             urllib.request.ProxyHandler({"http": proxy_url, "https": proxy_url})
+        )
+    if url.startswith("https://"):
+        handlers.append(
+            urllib.request.HTTPSHandler(
+                context=ssl_context_for(ssl_mode, ssl_cas)
+            )
         )
     opener = urllib.request.build_opener(*handlers)
     if head_first:
@@ -200,6 +240,8 @@ def fetch_urls(
     auth_configs: tuple = (),
     http_auth_allowed: bool = False,
     proxy_url: str | None = None,
+    ssl_mode: str = "full",
+    ssl_cas: tuple = (),
 ):
     """Fetch a batch of URLs with per-host politeness: same-host requests
     run strictly in list order with ``delay_s`` between them; DIFFERENT
@@ -259,6 +301,7 @@ def fetch_urls(
             bodies[i] = http_fetch_one(
                 target, timeout_s, max_bytes, user_agent, head_first,
                 extractable_mimes, authorization=auth, proxy_url=proxy_url,
+                ssl_mode=ssl_mode, ssl_cas=ssl_cas,
             )
             now = _time.monotonic()
             last_by_host[host] = now
@@ -301,6 +344,8 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
     auth_configs = tuple(cfg.domain_auth or ())
     auth_allowed = cfg.http_auth_allowed
     proxy = proxy_url_from_config(cfg)
+    ssl_mode = cfg.ssl_verification_mode
+    ssl_cas = tuple(cfg.ssl_ca_certificates or ())
 
     def fetch(it):
         import time as _time
@@ -321,6 +366,8 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
                 auth_configs=auth_configs,
                 http_auth_allowed=auth_allowed,
                 proxy_url=proxy,
+                ssl_mode=ssl_mode,
+                ssl_cas=ssl_cas,
             )
             # per-row fetch-completion wall time from the monotonic marks
             wall_base = _time.time() - _time.monotonic()

@@ -120,6 +120,8 @@ class SparkCrawler:
                         norm_url, tuple(self.config.domain_auth or ())
                     ),
                     proxy_url=proxy_url_from_config(self.config),
+                    ssl_mode=self.config.ssl_verification_mode,
+                    ssl_cas=tuple(self.config.ssl_ca_certificates or ()),
                 )
                 if body.startswith(b"<!--STATUS:"):
                     out[host_key] = robots_mod.failed_fetch(int(body[11:14])).to_tuple()

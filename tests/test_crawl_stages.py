@@ -426,3 +426,36 @@ def test_malformed_seed_raises_before_spark(spark, tmp_path):
     cfg = CrawlConfig(seed_urls=("nonsense^^^",))
     with pytest.raises(InvalidURLError):
         cfg.normalized_seeds()
+
+
+def test_revisit_schedule_change_rates(spark):
+    """Cho/Garcia-Molina revisit policy: static page -> 10x base interval,
+    always-changing page -> ~0.9x; single-crawl keys dropped."""
+    import datetime as dt
+
+    from crawler_spark.operators.revisit import revisit_schedule
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # static: 3 crawls, same fingerprint
+        ("u/static", t(0), "aaa"), ("u/static", t(10), "aaa"),
+        ("u/static", t(20), "aaa"),
+        # churner: changes every crawl
+        ("u/churn", t(0), "v1"), ("u/churn", t(10), "v2"),
+        ("u/churn", t(20), "v3"),
+        # half: one change over two gaps
+        ("u/half", t(0), "x"), ("u/half", t(10), "x"), ("u/half", t(20), "y"),
+        # singleton: dropped
+        ("u/once", t(0), "z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, fp string")
+    out = {r.url: r for r in revisit_schedule(df, base_interval_s=100.0).collect()}
+
+    assert set(out) == {"u/static", "u/churn", "u/half"}
+    assert out["u/static"].change_rate == 0.0
+    assert out["u/static"].interval_s == 1000.0  # 100 / 0.1
+    assert out["u/churn"].change_rate == 1.0
+    assert abs(out["u/churn"].interval_s - 100 / 1.1) < 0.01
+    assert out["u/half"].change_rate == 0.5
+    assert out["u/half"].n_obs == 3 and out["u/half"].n_changes == 1
+    assert out["u/half"].last_seen == t(20)

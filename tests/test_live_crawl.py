@@ -485,3 +485,57 @@ def test_live_crawl_warc_archive_no_double_fetch(spark, tmp_path, site_url):
         assert back.count() == sum(counts.values()) - 1  # minus robots.txt
     finally:
         _Handler.do_GET = orig_do_get
+
+
+def test_ssl_verification_modes(tmp_path):
+    """full rejects a self-signed server (Error result 599), none accepts
+    it, and full + the cert in ssl_ca_certificates accepts it too
+    (reference ssl_verification_mode / ssl_ca_certificates)."""
+    import ssl
+    import subprocess
+
+    cert = tmp_path / "srv.pem"
+    key = tmp_path / "srv.key"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "2",
+         "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True)
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b"<html><head><title>tls</title></head><body>s</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(str(cert), str(key))
+    server.socket = sctx.wrap_socket(server.socket, server_side=True)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        from crawler_spark.operators.fetch_live import fetch_urls
+
+        url = f"https://127.0.0.1:{server.server_address[1]}/x"
+        bodies, _ = fetch_urls([url], ssl_mode="full")
+        assert bodies[0] == b"<!--STATUS:599-->"  # untrusted self-signed
+
+        bodies, _ = fetch_urls([url], ssl_mode="none")
+        assert b"tls" in bodies[0]
+
+        bodies, _ = fetch_urls([url], ssl_mode="full", ssl_cas=(str(cert),))
+        assert b"tls" in bodies[0]
+
+        # inline PEM form of the same CA
+        bodies, _ = fetch_urls(
+            [url], ssl_mode="full", ssl_cas=(cert.read_text(),))
+        assert b"tls" in bodies[0]
+    finally:
+        server.shutdown()
