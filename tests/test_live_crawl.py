@@ -539,3 +539,50 @@ def test_ssl_verification_modes(tmp_path):
         assert b"tls" in bodies[0]
     finally:
         server.shutdown()
+
+
+def test_ssl_certificate_mode_skips_hostname_check(tmp_path):
+    """'certificate' trusts the CA but ignores hostname mismatch; 'full'
+    with the same CA still rejects a cert issued for another name."""
+    import ssl
+    import subprocess
+
+    cert = tmp_path / "wrong.pem"
+    key = tmp_path / "wrong.key"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "2",
+         "-subj", "/CN=other.example",
+         "-addext", "subjectAltName=DNS:other.example"],
+        check=True, capture_output=True)
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b"<html><head><title>cert</title></head><body>s</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(str(cert), str(key))
+    server.socket = sctx.wrap_socket(server.socket, server_side=True)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        from crawler_spark.operators.fetch_live import fetch_urls
+
+        url = f"https://127.0.0.1:{server.server_address[1]}/x"
+        bodies, _ = fetch_urls(
+            [url], ssl_mode="full", ssl_cas=(str(cert),))
+        assert bodies[0] == b"<!--STATUS:599-->"  # hostname mismatch
+
+        bodies, _ = fetch_urls(
+            [url], ssl_mode="certificate", ssl_cas=(str(cert),))
+        assert b"cert" in bodies[0]  # CA trusted, hostname ignored
+    finally:
+        server.shutdown()

@@ -102,3 +102,29 @@ def test_repetition_stats_partial_aggregation(spark, entry_queries):
     # both explode->agg chains map-side combine before their exchange
     assert plan.count("HashAggregate") >= 4
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_topk_no_global_sort_and_broadcast_count(spark, entry_queries):
+    """The per-doc top-k is a hash-partitioned window (never a
+    rangepartitioning global sort), and the corpus doc count reaches the
+    scoring join as a broadcast, not a shuffle."""
+    plan = _formatted_plan(entry_queries["tfidf_topk"](spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_single_pass_no_explode(spark, entry_queries):
+    """BM25 term counts are replace-length arithmetic inside the scan:
+    no Generate (explode) anywhere, corpus stats broadcast back."""
+    plan = _formatted_plan(entry_queries["bm25_score"](spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_revisit_schedule_single_shuffle(spark, entry_queries):
+    """The lag window and the per-key rollup share one hash exchange on
+    the key — the rollup reuses the window's partitioning."""
+    plan = _formatted_plan(entry_queries["revisit_schedule"](spark, SF_DIR))
+    assert plan.count("hashpartitioning(") == 1
+    # the window sort is partition-local — no global sort exchange
+    assert "rangepartitioning" not in plan.lower()
