@@ -269,6 +269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return revisit_schedule(ev)
 
+    def corpus_mix(spark, sf):
+        # curation dashboard: per-(source, lang) tallies + sqrt-temperature
+        # source sampling weights (GPT-3/Pile mix shape)
+        from crawler_spark.textops.corpusfilter import corpus_mix_report
+
+        return corpus_mix_report(_t(spark, sf, "documents"))
+
     def tfidf(spark, sf):
         # top-3 terms per doc by smoothed TF-IDF (one explode, Zipf-small
         # DF table joined back, per-doc window — no global sort)
@@ -409,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": tfidf,
         "bm25_score": bm25,
         "revisit_schedule": revisit,
+        "corpus_mix": corpus_mix,
         "minhash_signatures": minhash_sigs,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash": simhash_fps,
@@ -702,6 +710,19 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS rare_ratio
             FROM toks t JOIN tf f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "corpus_mix": f"""
+            WITH g AS (
+              SELECT source, lang, count(*) AS n_docs,
+                     sum({_TOKENS}) AS n_tokens,
+                     sum(length(text)) AS n_chars
+              FROM documents GROUP BY source, lang),
+            s AS (SELECT source, sum(n_docs) AS src_docs FROM g GROUP BY source),
+            tot AS (SELECT sum(sqrt(src_docs)) AS total_sqrt FROM s)
+            SELECT g.source, g.lang, g.n_docs, g.n_tokens, g.n_chars,
+                   s.src_docs,
+                   round(sqrt(s.src_docs) / t.total_sqrt, 4) AS src_weight_sqrt
+            FROM g JOIN s USING (source) CROSS JOIN tot t
         """,
         "revisit_schedule": """
             WITH h AS (

@@ -57,6 +57,7 @@ HEADLINE = [
     "tfidf_topk",
     "bm25_score",
     "revisit_schedule",
+    "corpus_mix",
 ]
 
 

@@ -29,7 +29,8 @@ from ..functions import urlnorm as U
 
 FETCHED_COLS = (
     "url_hash string, norm_url string, task_type string, depth int, "
-    "seq long, redirect_chain array<string>, html binary, warc_ts timestamp"
+    "seq long, redirect_chain array<string>, html binary, warc_ts timestamp, "
+    "etag string, last_modified string"
 )
 
 
@@ -111,13 +112,23 @@ def http_fetch_one(
     proxy_url: str | None = None,
     ssl_mode: str = "full",
     ssl_cas: tuple = (),
-) -> bytes:
+    etag: str | None = None,
+    last_modified: str | None = None,
+) -> tuple:
     """One GET, redirects NOT followed, response adapted to the corpus
-    marker conventions. Network/DNS/timeout errors become
+    marker conventions. Returns ``(body, etag, last_modified)`` — the
+    response validators are captured so revisits can revalidate instead
+    of re-downloading. Network/DNS/timeout errors become
     ``<!--STATUS:599-->`` (the reference maps transport exceptions to
     Error results, http_executor.rb:103-132); bodies are cut at
     ``max_bytes + 1`` so the engine's max_response_size gate fires
     without buffering an unbounded response.
+
+    ``etag``/``last_modified`` are the stored validators from the LAST
+    crawl of this URL: they are sent as If-None-Match/If-Modified-Since,
+    and a 304 response becomes ``<!--STATUS:304-->`` — the engine treats
+    it as "document unchanged" (RFC 9110 §13; beyond-reference: the
+    reference re-downloads unconditionally on every recrawl).
 
     ``head_first`` mirrors ``head_requests_enabled``
     (http_executor.rb:48-50): a HEAD pre-flight skips the body download
@@ -164,22 +175,34 @@ def http_fetch_one(
                 or path.endswith("/robots.txt")
             )
             if not is_text and hmime not in extractable_mimes:
-                return f"<!--MIME:{hmime}-->".encode()  # body never fetched
+                # body never fetched
+                return f"<!--MIME:{hmime}-->".encode(), None, None
         except Exception:
             pass  # 405/other: fall through to the normal GET
 
-    req = urllib.request.Request(url, headers=headers)
+    get_headers = dict(headers)
+    if etag:
+        get_headers["If-None-Match"] = etag
+    if last_modified:
+        get_headers["If-Modified-Since"] = last_modified
+    req = urllib.request.Request(url, headers=get_headers)
     try:
         with opener.open(req, timeout=timeout_s) as resp:
             status = resp.status
             body = resp.read(max_bytes + 1)
             ctype = resp.headers.get("Content-Type", "") or ""
     except urllib.error.HTTPError as e:
+        if e.code == 304:
+            # Not Modified: keep the stored validators live so the next
+            # revisit keeps revalidating against them
+            return b"<!--STATUS:304-->", etag, last_modified
         if 300 <= e.code < 400 and e.headers.get("Location"):
-            return f"<!--REDIRECT:{e.headers['Location']}-->".encode()
-        return f"<!--STATUS:{e.code}-->".encode()
+            return f"<!--REDIRECT:{e.headers['Location']}-->".encode(), None, None
+        return f"<!--STATUS:{e.code}-->".encode(), None, None
     except Exception:
-        return b"<!--STATUS:599-->"
+        return b"<!--STATUS:599-->", None, None
+    r_etag = resp.headers.get("ETag") or None
+    r_lastmod = resp.headers.get("Last-Modified") or None
     # transfer decoding (http_client.rb:61-66 gzip/deflate); skip when the
     # body hit the size cap — the max_response_size gate denies it anyway
     cenc = (resp.headers.get("Content-Encoding", "") or "").lower()
@@ -196,16 +219,18 @@ def http_fetch_one(
             else:
                 body = _gzip.decompress(body)
         except Exception:
-            return b"<!--STATUS:599-->"
+            return b"<!--STATUS:599-->", None, None
+    if status == 304:
+        return b"<!--STATUS:304-->", etag, last_modified
     if 300 <= status < 400:
         loc = ""
         try:
             loc = resp.headers.get("Location", "") or ""
         except Exception:
             pass
-        return f"<!--REDIRECT:{loc}-->".encode()
+        return f"<!--REDIRECT:{loc}-->".encode(), None, None
     if status >= 400:
-        return f"<!--STATUS:{status}-->".encode()
+        return f"<!--STATUS:{status}-->".encode(), None, None
     mime = ctype.split(";")[0].strip().lower()
     charset = ""
     if "charset=" in ctype:
@@ -220,8 +245,8 @@ def http_fetch_one(
         or path.endswith("/robots.txt")
     )
     if not is_text:
-        return f"<!--MIME:{mime}-->".encode() + body
-    return prefix + body
+        return f"<!--MIME:{mime}-->".encode() + body, r_etag, r_lastmod
+    return prefix + body, r_etag, r_lastmod
 
 
 def fetch_urls(
@@ -242,6 +267,10 @@ def fetch_urls(
     proxy_url: str | None = None,
     ssl_mode: str = "full",
     ssl_cas: tuple = (),
+    etags: list | None = None,
+    last_modifieds: list | None = None,
+    validators_out: list | None = None,
+    delays: list | None = None,
 ):
     """Fetch a batch of URLs with per-host politeness: same-host requests
     run strictly in list order with ``delay_s`` between them; DIFFERENT
@@ -256,7 +285,13 @@ def fetch_urls(
     before the NEXT request to a host is
     ``max(delay_s, min(factor * last_latency, adaptive_max_s))`` — a slow
     (overloaded) host automatically gets more breathing room. This is
-    Heritrix's published delay-factor/max-delay politeness model."""
+    Heritrix's published delay-factor/max-delay politeness model.
+
+    ``etags``/``last_modifieds``: per-URL stored validators (aligned
+    with ``urls``) sent as conditional-request headers (a 304 body is
+    the ``<!--STATUS:304-->`` marker); ``validators_out``, when passed,
+    is filled with one ``(etag, last_modified)`` pair per URL from the
+    responses."""
     import time as _time
 
     if last_by_host is None:
@@ -264,6 +299,8 @@ def fetch_urls(
     n = len(urls)
     bodies: list = [None] * n
     done_at: list = [0.0] * n
+    if validators_out is not None:
+        validators_out[:] = [(None, None)] * n
     delay_by_host: dict[str, float] = {}
     by_host: dict[str, list[int]] = {}
     for i, u in enumerate(urls):
@@ -271,8 +308,16 @@ def fetch_urls(
 
     def run_host(host: str, idxs: list) -> None:
         for i in idxs:
+            # per-URL base delay: the host's robots Crawl-delay when the
+            # wave carries one, else the configured default
+            base_delay = (
+                delays[i]
+                if delays is not None and delays[i] is not None
+                else delay_s
+            )
             eff_delay = (
-                delay_by_host.get(host, delay_s) if adaptive_factor > 0 else delay_s
+                delay_by_host.get(host, base_delay)
+                if adaptive_factor > 0 else base_delay
             )
             if eff_delay > 0:
                 wait = last_by_host.get(host, 0) + eff_delay - _time.monotonic()
@@ -290,6 +335,8 @@ def fetch_urls(
                 userinfo, bare_host = netloc.rsplit("@", 1)
                 if scheme == "http" and not http_auth_allowed:
                     bodies[i] = b"<!--STATUS:599-->"
+                    if validators_out is not None:
+                        validators_out[i] = (None, None)
                     now = _time.monotonic()
                     last_by_host[host] = now
                     done_at[i] = now
@@ -298,17 +345,23 @@ def fetch_urls(
 
                 target = f"{scheme}://{bare_host}{sep}{tail}"
                 auth = "Basic " + _b64.b64encode(userinfo.encode()).decode()
-            bodies[i] = http_fetch_one(
+            bodies[i], r_etag, r_lastmod = http_fetch_one(
                 target, timeout_s, max_bytes, user_agent, head_first,
                 extractable_mimes, authorization=auth, proxy_url=proxy_url,
                 ssl_mode=ssl_mode, ssl_cas=ssl_cas,
+                etag=etags[i] if etags is not None else None,
+                last_modified=(
+                    last_modifieds[i] if last_modifieds is not None else None
+                ),
             )
+            if validators_out is not None:
+                validators_out[i] = (r_etag, r_lastmod)
             now = _time.monotonic()
             last_by_host[host] = now
             done_at[i] = now
             if adaptive_factor > 0:
                 delay_by_host[host] = max(
-                    delay_s, min(adaptive_factor * (now - t0), adaptive_max_s)
+                    base_delay, min(adaptive_factor * (now - t0), adaptive_max_s)
                 )
 
     if threads <= 1 or len(by_host) == 1:
@@ -355,6 +408,8 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values("norm_url", kind="stable")
+            has_validators = "etag" in pdf.columns
+            validators: list = []
             bodies, done_at = fetch_urls(
                 list(pdf["norm_url"]),
                 timeout_s=timeout, max_bytes=max_bytes, user_agent=agent,
@@ -368,20 +423,44 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
                 proxy_url=proxy,
                 ssl_mode=ssl_mode,
                 ssl_cas=ssl_cas,
+                etags=(
+                    [None if e != e else e for e in pdf["etag"]]
+                    if has_validators else None
+                ),
+                last_modifieds=(
+                    [None if m != m else m for m in pdf["last_modified"]]
+                    if has_validators else None
+                ),
+                validators_out=validators,
+                delays=(
+                    [
+                        None if d != d or d is None or d <= 0 else d / 1000.0
+                        for d in pdf["crawl_delay_ms"]
+                    ]
+                    if "crawl_delay_ms" in pdf.columns else None
+                ),
             )
             # per-row fetch-completion wall time from the monotonic marks
             wall_base = _time.time() - _time.monotonic()
             stamps = [
                 pd.Timestamp(wall_base + t, unit="s").round("us") for t in done_at
             ]
-            out = pdf.copy()
+            out = pdf.drop(columns=["crawl_delay_ms"], errors="ignore")
             out["html"] = pd.Series(bodies, index=pdf.index, dtype="object")
             out["warc_ts"] = pd.Series(stamps, index=pdf.index)
+            out["etag"] = pd.Series(
+                [v[0] for v in validators], index=pdf.index, dtype="object")
+            out["last_modified"] = pd.Series(
+                [v[1] for v in validators], index=pdf.index, dtype="object")
             yield out
 
     from pyspark.sql import functions as F
 
     cols = ["url_hash", "norm_url", "task_type", "depth", "seq", "redirect_chain"]
+    if "etag" in wave.columns:  # stored validators joined onto the wave
+        cols += ["etag", "last_modified"]
+    if "crawl_delay_ms" in wave.columns:  # robots Crawl-delay per host
+        cols += ["crawl_delay_ms"]
     return (
         wave.select(*cols)
         .repartition(F.expr("pmod(hash(split(norm_url, '/')[2]), 8)"))

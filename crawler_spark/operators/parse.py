@@ -102,6 +102,11 @@ PARSED_SCHEMA = StructType(
         StructField("content_type", StringType()),
         StructField("content_length", LongType()),
         StructField("attachment", StringType()),
+        # live-mode response validators (RFC 9110 §8.8): stored per URL so
+        # revisits revalidate (If-None-Match/If-Modified-Since -> 304)
+        # instead of re-downloading; null in offline/corpus mode
+        StructField("etag", StringType()),
+        StructField("last_modified", StringType()),
     ]
 )
 
@@ -172,6 +177,12 @@ def fetch_join(
     return hits.select(misses.columns).unionByName(misses)
 
 
+def _clean_str(v):
+    """Pandas surfaces missing object cells as float NaN; a string field
+    must carry None instead."""
+    return None if v is None or isinstance(v, float) else v
+
+
 def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Iterator[pd.DataFrame]:
     from ..functions.extraction import compile_rulesets
 
@@ -211,6 +222,8 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 "content_type": None,
                 "content_length": None,
                 "attachment": None,
+                "etag": _clean_str(getattr(row, "etag", None)),
+                "last_modified": _clean_str(getattr(row, "last_modified", None)),
             }
             html = row.html
             if html is None:
@@ -220,6 +233,11 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
             m = STATUS_MARK.match(body)
             if m:
                 rec["status"] = int(m.group(1))
+                if rec["status"] == 304:
+                    # Not Modified on a conditional revisit: the stored
+                    # document stays live (docs MERGE emits nothing, the
+                    # purge stage counts it as refreshed)
+                    rec["kind"] = "not_modified"
                 out.append(rec)
                 continue
             if len(body) >= cfg.max_response_size:

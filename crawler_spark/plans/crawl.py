@@ -113,7 +113,7 @@ class SparkCrawler:
                     proxy_url_from_config,
                 )
 
-                body = http_fetch_one(
+                body, _etag, _lastmod = http_fetch_one(
                     norm_url, self.config.request_timeout_s,
                     self.config.max_response_size, self.config.user_agent,
                     authorization=auth_header_for_url(
@@ -482,7 +482,11 @@ class SparkCrawler:
             if self.live:
                 from ..operators.fetch_live import live_fetch_join
 
-                fetched = live_fetch_join(wave_cols, cfg)
+                # + robots Crawl-delay so in-task pacing honors each host
+                live_cols = ready.select(
+                    *wave_cols.columns, "crawl_delay_ms"
+                )
+                fetched = live_fetch_join(self._with_validators(live_cols), cfg)
             else:
                 # broadcast only genuinely small waves: broadcasting is
                 # driver-serial O(wave), so big waves take the
@@ -518,6 +522,11 @@ class SparkCrawler:
             # measured anti-scaling of the admission phase at 4N cores).
             parsed_path = self.store.append("parsed", parsed, wave)
             parsed = self.spark.read.parquet(parsed_path)
+            if self.live:
+                # conditional-revisit validators (3-column pruned scan)
+                self.store.append(
+                    "validators", self._validators_delta(parsed), wave
+                )
             _mark("fetch_parse_docs")
 
             # fetch metrics (A3): 3-column pruned scan of the wave file
@@ -661,7 +670,7 @@ class SparkCrawler:
         if self.live:
             from ..operators.fetch_live import live_fetch_join
 
-            fetched = live_fetch_join(frontier, cfg)
+            fetched = live_fetch_join(self._with_validators(frontier), cfg)
         else:
             fetched = fetch_join(
                 frontier, self.pages, broadcast_wave=n < 100_000,
@@ -670,8 +679,26 @@ class SparkCrawler:
         parsed = parse_wave(fetched, cfg)
         parsed_path = self.store.append("parsed", parsed, wave)
         purge_parsed = self.spark.read.parquet(parsed_path)
-        # tombstones: stale ids that did not produce a document on re-fetch
-        produced = docs_from_parsed(purge_parsed, cfg).select("id")
+        if self.live:
+            self.store.append(
+                "validators", self._validators_delta(purge_parsed), wave
+            )
+        # purge-stage fetches land in the same metrics table as primary
+        # waves (A3/A4 — the ingestion-stats Δ covers both stages)
+        self.store.append(
+            "metrics",
+            purge_parsed.groupBy("kind", "status", "depth").agg(
+                F.count("*").alias("n")
+            ),
+            wave,
+        )
+        # tombstones: stale ids that did not produce a document on
+        # re-fetch; a 304 (conditional revisit, not modified) counts as
+        # refreshed — the stored doc stays live
+        produced = docs_from_parsed(purge_parsed, cfg).select("id").unionByName(
+            purge_parsed.filter(F.col("kind") == "not_modified")
+            .select(F.col("url_hash").alias("id"))
+        )
         tombs = (
             stale.select(F.col("url_hash").alias("id"))
             .join(produced, on="id", how="left_anti")
@@ -758,6 +785,17 @@ class SparkCrawler:
                 .dropDuplicates(["url_hash", "wave"])
             )
             self.store.compact("parsed", keep)
+        validators = self.store.read("validators")
+        if validators is not None:
+            # fold to the latest validator per URL (older conditional-
+            # request state is superseded)
+            w = Window.partitionBy("url_hash").orderBy(F.col("wave").desc())
+            self.store.compact(
+                "validators",
+                validators.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn"),
+            )
 
     # --- event stream (C5, event_generator.rb:135-246) ----------------------
 
@@ -787,6 +825,36 @@ class SparkCrawler:
         extra = self.spark.createDataFrame(self._lifecycle_rows, self._EVENT_SCHEMA)
         self._lifecycle_rows = []
         return extra if ev is None else ev.unionByName(extra)
+
+    def _with_validators(self, frontier: DataFrame) -> DataFrame:
+        """Left-join the latest stored response validators (etag /
+        last_modified, RFC 9110) onto a live fetch wave so revisited URLs
+        send conditional requests and unchanged pages come back as 304s —
+        the recrawl bandwidth saver the reference lacks (it re-downloads
+        unconditionally every recrawl). The validators table is tiny
+        relative to the corpus (one row per doc-producing URL) and
+        co-keyed on url_hash, so the join shuffles only the wave."""
+        v = self.store.read("validators")
+        if v is None:
+            return frontier
+        latest = (
+            v.groupBy("url_hash")
+            .agg(F.max(F.struct("wave", "etag", "last_modified")).alias("s"))
+            .select("url_hash", "s.etag", "s.last_modified")
+        )
+        return frontier.join(latest, "url_hash", "left")
+
+    def _validators_delta(self, parsed: DataFrame) -> DataFrame:
+        """Validators worth storing: rows that produced a document (a
+        future 304 must always have a live doc behind it) or revalidated
+        one (not_modified passes the stored validators through, keeping
+        them wave-fresh)."""
+        from ..operators.parse import doc_eligible
+
+        return parsed.filter(
+            (F.col("etag").isNotNull() | F.col("last_modified").isNotNull())
+            & (doc_eligible(self.config) | (F.col("kind") == "not_modified"))
+        ).select("url_hash", "etag", "last_modified")
 
     def _fetch_events(self, parsed: DataFrame) -> DataFrame:
         return parsed.select(

@@ -371,3 +371,49 @@ def benchmark_from_file(spark, path: str, text_col: str = "text") -> DataFrame:
         .filter(F.col("value") != "")
         .select(F.col("value").alias(text_col))
     )
+
+
+def corpus_mix_report(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-curation mix report: per (source, lang) document/token/char
+    tallies plus the per-source temperature-sampled mixture weight
+    ``sqrt(n_source) / Σ sqrt(n_source)`` — the sublinear (α=0.5)
+    source-weighting scheme of the GPT-3/Pile training mixes, which
+    up-weights small high-quality sources relative to raw proportion.
+
+    sqrt is exactly rounded under IEEE-754, so unlike pow(x, α) the
+    weights replay bit-identically in any oracle engine. One groupBy
+    shuffle over the corpus; the source rollup and grand total are
+    aggregates of the (tiny) group table, broadcast back.
+    """
+    t = F.col(text_col)
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    tokens = F.when(F.length(t) == 0, 0).otherwise(spaces + 1)
+    g = df.groupBy(source_col, lang_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens).alias("n_tokens"),
+        F.sum(F.length(t)).alias("n_chars"),
+    )
+    srcs = g.groupBy(source_col).agg(F.sum("n_docs").alias("src_docs"))
+    total = srcs.agg(
+        F.sum(F.sqrt(F.col("src_docs"))).alias("total_sqrt")
+    )
+    return (
+        g.join(srcs, source_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            lang_col,
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "src_docs",
+            F.round(
+                F.sqrt(F.col("src_docs")) / F.col("total_sqrt"), 4
+            ).alias("src_weight_sqrt"),
+        )
+    )

@@ -276,3 +276,25 @@ def test_contamination_jsonl_benchmark(spark, tmp_path):
     out = {r["doc_id"]: r for r in contamination_check(df, benchmark=bench).collect()}
     assert out[10]["contaminated"] is True
     assert out[11]["contaminated"] is False
+
+
+def test_corpus_mix_sqrt_weights(spark):
+    import math
+
+    from crawler_spark.textops.corpusfilter import corpus_mix_report
+
+    rows = [
+        (1, "a b c", "en", "web"), (2, "d e", "en", "web"),
+        (3, "f g h i", "de", "web"), (4, "j k", "en", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r.source, r.lang): r for r in corpus_mix_report(df).collect()}
+
+    assert out[("web", "en")].n_docs == 2
+    assert out[("web", "en")].n_tokens == 5
+    assert out[("web", "de")].src_docs == 3  # source rollup spans langs
+    total = math.sqrt(3) + math.sqrt(1)
+    assert abs(out[("web", "en")].src_weight_sqrt - math.sqrt(3) / total) < 1e-3
+    assert abs(out[("books", "en")].src_weight_sqrt - 1 / total) < 1e-3
+    # weights are per source: both web rows carry the same weight
+    assert out[("web", "en")].src_weight_sqrt == out[("web", "de")].src_weight_sqrt

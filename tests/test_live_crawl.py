@@ -586,3 +586,142 @@ def test_ssl_certificate_mode_skips_hostname_check(tmp_path):
         assert b"cert" in bodies[0]  # CA trusted, hostname ignored
     finally:
         server.shutdown()
+
+
+def test_conditional_revalidation_304_recrawl(spark, tmp_path):
+    """Crawl 1 stores ETags; the recrawl sends If-None-Match, the server
+    answers 304 everywhere, and: no body is re-downloaded, the docs stay
+    byte-identical and live (purge does NOT tombstone), and the recrawl's
+    metrics record the 304s."""
+    got_conditional = []
+    full_downloads = []
+
+    class _ETag(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\n"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            etag = f'"v1-{self.path}"'
+            if self.headers.get("If-None-Match") == etag:
+                got_conditional.append(self.path)
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.end_headers()
+                return
+            full_downloads.append(self.path)
+            body = (
+                f'<html><head><title>t{self.path}</title></head>'
+                f'<body>page {self.path} <a href="/a">a</a> '
+                f'<a href="/b">b</a></body></html>'
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("ETag", etag)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _ETag)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        state = str(tmp_path / "st")
+        cfg = CrawlConfig(seed_urls=(f"{base}/",), fetch_mode="live",
+                          lineage_enabled=False)
+        res1 = SparkCrawler(spark, cfg, None, state, max_waves=4).run()
+        docs1 = {r.url: r.body for r in res1.docs.select("url", "body").collect()}
+        assert len(docs1) == 3  # /, /a, /b
+        n_full_first = len(full_downloads)
+        assert n_full_first == 3 and not got_conditional
+
+        res2 = SparkCrawler(spark, cfg, None, state, max_waves=4,
+                            recrawl=True).run()
+        docs2 = {r.url: r.body for r in res2.docs.select("url", "body").collect()}
+        # nothing re-downloaded: every page request was conditional -> 304
+        assert len(full_downloads) == n_full_first
+        assert set(got_conditional) >= {"/", "/a", "/b"}
+        # docs unchanged and alive (not tombstoned by the purge stage)
+        assert docs2 == docs1
+        # the recrawl recorded 304 fetches
+        m = res2.metrics.filter("status = 304").agg({"n": "sum"}).collect()[0][0]
+        assert m and m >= 3
+
+        # validators survive state compaction: a third recrawl after
+        # compact_state still revalidates with zero re-downloads
+        crawler3 = SparkCrawler(spark, cfg, None, state, max_waves=4,
+                                recrawl=True)
+        crawler3.compact_state()
+        res3 = crawler3.run()
+        assert len(full_downloads) == n_full_first
+        docs3 = {r.url: r.body for r in res3.docs.select("url", "body").collect()}
+        assert docs3 == docs1
+    finally:
+        server.shutdown()
+
+
+def test_fetch_urls_per_url_delays(site_url):
+    """A delays list (robots Crawl-delay per host) overrides the global
+    default for pacing."""
+    from crawler_spark.operators.fetch_live import fetch_urls
+
+    port = site_url.rsplit(":", 1)[1]
+    urls = [f"http://127.0.0.1:{port}{p}" for p in ("/", "/a", "/b")]
+    _, done = fetch_urls(urls, delay_s=0.0, delays=[0.5, 0.5, 0.5])
+    gaps = [b - a for a, b in zip(done, done[1:])]
+    assert all(g >= 0.45 for g in gaps), gaps
+
+    # None entries fall back to delay_s (0 here): no pacing
+    _, done = fetch_urls(urls, delay_s=0.0, delays=[None, None, None])
+    gaps = [b - a for a, b in zip(done, done[1:])]
+    assert all(g < 0.2 for g in gaps), gaps
+
+
+def test_live_crawl_honors_robots_crawl_delay(spark, tmp_path):
+    """robots.txt Crawl-delay reaches the in-task pacing: same-host
+    fetches within a wave are spaced by the robots delay even with no
+    configured default delay."""
+    import time
+
+    times: dict = {}
+
+    class _Delayed(BaseHTTPRequestHandler):
+        def do_GET(self):
+            times.setdefault(self.path, time.monotonic())
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nCrawl-delay: 1\n"
+                ctype = "text/plain"
+            else:
+                body = (b'<html><head><title>d</title></head><body>'
+                        b'<a href="/a">a</a> <a href="/b">b</a></body></html>')
+                ctype = "text/html"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Delayed)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        cfg = CrawlConfig(seed_urls=(f"{base}/",), fetch_mode="live",
+                          purge_crawl_enabled=False, lineage_enabled=False,
+                          default_crawl_delay_s=0.0)
+        SparkCrawler(spark, cfg, None, str(tmp_path / "st"), max_waves=3).run()
+        # /a and /b are the same wave, same host: robots Crawl-delay: 1
+        # must space them
+        assert "/a" in times and "/b" in times
+        assert abs(times["/b"] - times["/a"]) >= 0.9
+    finally:
+        server.shutdown()
