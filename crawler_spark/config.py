@@ -79,6 +79,11 @@ class CrawlConfig:
     # "-----BEGIN CERTIFICATE-----" strings)
     ssl_verification_mode: str = "full"
     ssl_ca_certificates: tuple = ()
+    # offline recrawl/purge: reuse the stored parsed row when the corpus
+    # warc_ts is unchanged (skip the per-document parse — the offline
+    # 304). Opt-in: only sound when the corpus bumps warc_ts on content
+    # change, which Common-Crawl-style fetch timestamps do
+    reuse_unchanged_pages: bool = False
     max_title_size: int = 1_000
     max_body_size: int = 5 * 1024 * 1024
     max_keywords_size: int = 512

@@ -54,6 +54,7 @@ _DIRECT_KEYS = (
     "http_proxy_username",
     "http_proxy_password",
     "ssl_verification_mode",
+    "reuse_unchanged_pages",
 )
 
 _RUBY_INT_RE = re.compile(r"\A\d[\d_]*\Z")

@@ -487,13 +487,20 @@ class SparkCrawler:
                     *wave_cols.columns, "crawl_delay_ms"
                 )
                 fetched = live_fetch_join(self._with_validators(live_cols), cfg)
+                reused = None
             else:
+                # recrawl: reuse parsed rows for provably-unchanged pages
+                # (corpus warc_ts == recorded warc_ts) — the offline 304
+                fetch_wave = wave_cols
+                reused = None
+                if self.recrawl and cfg.reuse_unchanged_pages:
+                    reused, fetch_wave = self._reuse_unchanged(wave_cols)
                 # broadcast only genuinely small waves: broadcasting is
                 # driver-serial O(wave), so big waves take the
                 # co-partitioned shuffle-hash path (corpus cached in
                 # HashPartitioning(url_hash))
                 fetched = fetch_join(
-                    wave_cols, self.pages, broadcast_wave=n_ready < 100_000,
+                    fetch_wave, self.pages, broadcast_wave=n_ready < 100_000,
                     cache_tracker=self._wave_caches)
             if cfg.warc_export_dir:
                 # archive the wave (url, warc_ts, html) as WARC before the
@@ -512,6 +519,8 @@ class SparkCrawler:
                     _os.path.join(cfg.warc_export_dir, f"wave={wave}"),
                 ).collect()
             parsed = parse_wave(fetched, cfg)
+            if reused is not None:
+                parsed = parsed.unionByName(reused, allowMissingColumns=True)
 
             # ONE wave-sized write serves docs (read-time view), metrics and
             # discovery: the parsed table is the docs MERGE Δ (S6) *and* the
@@ -667,16 +676,24 @@ class SparkCrawler:
             self.outcome = ("purge", "warning", "The crawl is taking too long.")
             return wave
         self._wave_caches = []
+        reused = None
         if self.live:
             from ..operators.fetch_live import live_fetch_join
 
             fetched = live_fetch_join(self._with_validators(frontier), cfg)
         else:
+            # unchanged pages (same corpus warc_ts) are refreshed without
+            # re-parsing — the purge re-check degrades to a 2-column
+            # metadata join for the static bulk of the corpus
+            if cfg.reuse_unchanged_pages:
+                reused, frontier = self._reuse_unchanged(frontier)
             fetched = fetch_join(
                 frontier, self.pages, broadcast_wave=n < 100_000,
                 cache_tracker=self._wave_caches,
             )
         parsed = parse_wave(fetched, cfg)
+        if reused is not None:
+            parsed = parsed.unionByName(reused, allowMissingColumns=True)
         parsed_path = self.store.append("parsed", parsed, wave)
         purge_parsed = self.spark.read.parquet(parsed_path)
         if self.live:
@@ -825,6 +842,43 @@ class SparkCrawler:
         extra = self.spark.createDataFrame(self._lifecycle_rows, self._EVENT_SCHEMA)
         self._lifecycle_rows = []
         return extra if ev is None else ev.unionByName(extra)
+
+    def _reuse_unchanged(self, wave_cols: DataFrame):
+        """Offline analog of a 304: on a recrawl/purge wave, pages whose
+        corpus ``warc_ts`` equals the one recorded in the parsed history
+        are provably unchanged, so their previous parsed rows are reused
+        verbatim and the per-document Python parse (the wave's dominant
+        cost at scale) runs only over the changed/missing remainder.
+
+        The change probe reads ONLY (url_hash, warc_ts) from the corpus —
+        parquet column pruning never touches the 100 TB html column for
+        unchanged rows. Reused rows carry their original extraction
+        bit-for-bit, so the byte-identical-text invariant is preserved by
+        construction. Returns ``(reused_parsed_or_None, remaining_wave)``.
+        """
+        prev = self.store.read("parsed")
+        if prev is None or self.pages is None:
+            return None, wave_cols
+        from pyspark.sql import Window
+
+        meta = self.pages.select(
+            "url_hash", F.col("warc_ts").alias("_corpus_ts")
+        )
+        probe = wave_cols.select("url_hash").join(meta, "url_hash")
+        cand = prev.join(probe, "url_hash")  # wave-sized after the join
+        w = Window.partitionBy("url_hash").orderBy(F.col("wave").desc())
+        latest = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        reused = (
+            latest.filter(F.col("warc_ts") == F.col("_corpus_ts"))
+            .drop("_rn", "_corpus_ts", "wave")
+        )
+        remaining = wave_cols.join(
+            reused.select("url_hash"), "url_hash", "left_anti"
+        )
+        return reused, remaining
 
     def _with_validators(self, frontier: DataFrame) -> DataFrame:
         """Left-join the latest stored response validators (etag /

@@ -60,6 +60,9 @@ def main(argv=None):
     ap.add_argument("--no-lineage", action="store_true")
     ap.add_argument("--warc-export", default=None, metavar="DIR",
                     help="archive every fetched page as WARC under DIR/wave=N/")
+    ap.add_argument("--reuse-unchanged", action="store_true",
+                    help="recrawl/purge: skip re-parsing pages whose corpus "
+                         "warc_ts is unchanged (the offline 304)")
     args = ap.parse_args(argv)
     if not args.pages and not args.live:
         ap.error("--pages is required unless --live is given")
@@ -96,6 +99,8 @@ def main(argv=None):
             overrides["fetch_mode"] = "live"
         if args.warc_export:
             overrides["warc_export_dir"] = args.warc_export
+        if args.reuse_unchanged:
+            overrides["reuse_unchanged_pages"] = True
         if overrides:
             config = replace(config, **overrides)
     else:
@@ -119,6 +124,8 @@ def main(argv=None):
             kwargs["fetch_mode"] = "live"
         if args.warc_export:
             kwargs["warc_export_dir"] = args.warc_export
+        if args.reuse_unchanged:
+            kwargs["reuse_unchanged_pages"] = True
         config = CrawlConfig(**kwargs)
 
     pages = spark.read.parquet(args.pages) if args.pages else None

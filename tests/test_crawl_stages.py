@@ -459,3 +459,47 @@ def test_revisit_schedule_change_rates(spark):
     assert out["u/half"].change_rate == 0.5
     assert out["u/half"].n_obs == 3 and out["u/half"].n_changes == 1
     assert out["u/half"].last_seen == t(20)
+
+
+def test_reuse_unchanged_pages_skips_parse(spark, tmp_path):
+    """reuse_unchanged_pages (the offline 304): on a recrawl, a page whose
+    corpus warc_ts did not change is NOT re-parsed — its stored extraction
+    is reused verbatim (proven by mutating the html under an unchanged
+    ts: the doc keeps the OLD body) — while a bumped ts re-parses."""
+    ts0 = EPOCH
+    ts1 = EPOCH + dt.timedelta(days=1)
+
+    def rows(body_a, body_b, ts_b):
+        return [
+            {"url": f"{HOST}/", "warc_ts": ts0,
+             "html": _page(["/a", "/b"]).encode(), "text": "", "lang": "en"},
+            {"url": f"{HOST}/a", "warc_ts": ts0,
+             "html": body_a.encode(), "text": "", "lang": "en"},
+            {"url": f"{HOST}/b", "warc_ts": ts_b,
+             "html": body_b.encode(), "text": "", "lang": "en"},
+        ]
+
+    mk = lambda txt: (f"<html><head><title>t</title></head>"
+                      f"<body>{txt}</body></html>")
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",), reuse_unchanged_pages=True)
+    state = str(tmp_path / "state")
+    p1 = _write(spark, rows(mk("original a"), mk("original b"), ts0),
+                str(tmp_path / "v1.parquet"))
+    r1 = SparkCrawler(spark, cfg, p1, state, max_waves=10).run()
+    assert {r["url"]: r["body"] for r in r1.docs.collect()} == {
+        f"{HOST}/": "word x x",
+        f"{HOST}/a": "original a",
+        f"{HOST}/b": "original b",
+    }
+
+    # v2: /a mutated WITHOUT a ts bump (must be treated as unchanged and
+    # NOT re-parsed); /b mutated WITH a ts bump (must re-parse)
+    p2 = _write(spark, rows(mk("mutated a"), mk("mutated b"), ts1),
+                str(tmp_path / "v2.parquet"))
+    r2 = SparkCrawler(spark, cfg, p2, state, max_waves=10, recrawl=True).run()
+    docs = {r["url"]: r["body"] for r in r2.docs.collect()}
+    assert docs[f"{HOST}/a"] == "original a"  # reused, parse skipped
+    assert docs[f"{HOST}/b"] == "mutated b"   # ts bumped -> re-parsed
+    assert docs[f"{HOST}/"] == "word x x"
+    # nothing tombstoned: reused rows count as refreshed in purge
+    assert r2.purged is None or r2.purged.count() == 0
