@@ -65,6 +65,10 @@ def bench_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # warm-up: python-worker spawn + codegen JIT + parquet footer cache,
+    # so the first timed query measures the engine, not session cold-start
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
     out = {}
     for name in HEADLINE:
         t0 = time.time()

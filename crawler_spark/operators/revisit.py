@@ -63,3 +63,58 @@ def revisit_schedule(
         F.round(base_interval_s / (rate + 0.1), 4).alias("interval_s"),
         F.col("last_seen"),
     )
+
+
+def due_for_revisit(
+    parsed: DataFrame,
+    base_interval_s: float = 86400.0,
+    as_of=None,
+    min_obs: int = 2,
+) -> DataFrame:
+    """URLs due for refresh, computed from the crawl's own parsed history
+    (the multi-wave ``parsed`` state table): per-URL change statistics
+    over the stored body fingerprints → ``next_visit = last_seen +
+    interval`` → rows where ``next_visit <= as_of``.
+
+    Feeds a targeted refresh crawl: seed the due list instead of
+    re-crawling the whole corpus on a cron — at 10^10 URLs the refresh
+    fetch budget tracks the corpus' actual change volume. ``as_of``
+    defaults to the current timestamp; pass one explicitly for
+    deterministic tests/backfills. ``not_modified`` observations (live
+    304s — body is null, content unchanged by definition) are excluded:
+    a page in a long 304 streak stays "due" and keeps being revalidated
+    by cheap conditional requests, which is exactly the desired loop.
+    Offline-304 reuse rows re-appear with the stored body, so they fold
+    in naturally as non-changes.
+    """
+    hist = parsed.filter(
+        F.col("kind").isin("html", "file")
+    ).select(
+        F.col("url_hash"),
+        F.col("norm_url"),
+        F.col("warc_ts"),
+        F.sha2(F.coalesce(F.col("body"), F.lit("")), 256).alias("fp"),
+    )
+    sched = revisit_schedule(
+        hist, key_col="url_hash", ts_col="warc_ts", fp_col="fp",
+        base_interval_s=base_interval_s, min_obs=min_obs,
+    )
+    urls = hist.groupBy("url_hash").agg(F.max("norm_url").alias("norm_url"))
+    as_of_col = (
+        F.lit(as_of).cast("timestamp") if as_of is not None
+        else F.current_timestamp()
+    )
+    return (
+        sched.join(urls, "url_hash")
+        .withColumn(
+            "next_visit",
+            F.timestamp_seconds(
+                F.unix_timestamp(F.col("last_seen")) + F.col("interval_s")
+            ),
+        )
+        .filter(F.col("next_visit") <= as_of_col)
+        .select(
+            "url_hash", "norm_url", "n_obs", "change_rate",
+            "interval_s", "last_seen", "next_visit",
+        )
+    )

@@ -112,3 +112,28 @@ def test_domain_auth_parsed_and_keyed_by_site():
         {"type": "raw", "header": "Bearer tok",
          "domain": "https://token.test:8443"},
     )
+
+
+def test_example_config_parses_completely():
+    """config/crawler.yml.example documents every supported key — loading
+    it must consume all engine keys (nothing silently ignored) and set
+    the fields it claims."""
+    import os
+
+    from crawler_spark.config_file import load_config
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "config", "crawler.yml.example")
+    cfg, extras = load_config(path)
+    assert cfg.domain_allowlist == ("https://example.com",)
+    assert "https://example.com/blog/" in cfg.seed_urls
+    assert cfg.crawl_rules["https://example.com"] == [("deny", "begins", "/admin")]
+    assert cfg.extraction_rules["https://example.com"][0]["rules"][0]["field_name"] == "author"
+    assert cfg.domain_auth[0]["type"] == "basic"
+    assert cfg.max_duration_s == 86400.0
+    assert cfg.max_body_size == 5_242_880  # Ruby underscore literal
+    assert cfg.ssl_verification_mode == "full"
+    assert cfg.reuse_unchanged_pages is False
+    assert cfg.url_queue_size_limit == 10000
+    # only documented non-engine keys remain in extras
+    assert set(extras) == {"output_sink"}

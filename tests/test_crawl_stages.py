@@ -503,3 +503,82 @@ def test_reuse_unchanged_pages_skips_parse(spark, tmp_path):
     assert docs[f"{HOST}/"] == "word x x"
     # nothing tombstoned: reused rows count as refreshed in purge
     assert r2.purged is None or r2.purged.count() == 0
+
+
+def test_due_for_revisit_from_parsed_history(spark):
+    """due_for_revisit over a parsed-history-shaped frame: the churner
+    gets a short interval (due soon), the static page a 10x one (not yet
+    due at a near horizon, due at a far one)."""
+    from crawler_spark.operators.revisit import due_for_revisit
+
+    def row(h, url, ts_s, body, kind="html"):
+        return (h, url, EPOCH + dt.timedelta(seconds=ts_s), body, kind)
+
+    rows = [
+        # static: same body at t=0, 100, 200
+        row("h1", f"{HOST}/static", 0, "same"),
+        row("h1", f"{HOST}/static", 100, "same"),
+        row("h1", f"{HOST}/static", 200, "same"),
+        # churner: different body each time
+        row("h2", f"{HOST}/churn", 0, "v1"),
+        row("h2", f"{HOST}/churn", 100, "v2"),
+        row("h2", f"{HOST}/churn", 200, "v3"),
+        # a live-304 observation must NOT register as a change
+        row("h1", f"{HOST}/static", 250, None, kind="not_modified"),
+        # non-doc rows ignored
+        row("h3", f"{HOST}/err", 0, None, kind="error"),
+    ]
+    parsed = spark.createDataFrame(
+        rows, "url_hash string, norm_url string, warc_ts timestamp, "
+              "body string, kind string")
+
+    base = 100.0  # static interval -> 1000s, churner -> ~91s
+    near = EPOCH + dt.timedelta(seconds=600)
+    due_near = {r.url_hash: r for r in
+                due_for_revisit(parsed, base_interval_s=base, as_of=near).collect()}
+    assert set(due_near) == {"h2"}  # churner due, static not
+    assert due_near["h2"].change_rate == 1.0
+    assert due_near["h2"].norm_url == f"{HOST}/churn"
+
+    far = EPOCH + dt.timedelta(seconds=5000)
+    due_far = {r.url_hash for r in
+               due_for_revisit(parsed, base_interval_s=base, as_of=far).collect()}
+    assert due_far == {"h1", "h2"}  # everyone due eventually; h3 never (1 obs)
+
+
+def test_refresh_due_job_on_real_state(spark, tmp_path, capsys):
+    """jobs/refresh_due.py over a real crawl's state dir: far horizon →
+    every doc-producing URL is due; near horizon → none (single crawl =
+    1 observation, below min_obs)."""
+    import json as _json
+
+    import jobs.refresh_due as job
+
+    v = {f"{HOST}/": _page(["/a"]), f"{HOST}/a": _page([])}
+    p = _write(spark, _rows(v), str(tmp_path / "v.parquet"))
+    cfg = CrawlConfig(seed_urls=(f"{HOST}/",))
+    state = str(tmp_path / "state")
+    SparkCrawler(spark, cfg, p, state, max_waves=5).run()
+    # second observation so change rates are estimable
+    SparkCrawler(spark, cfg, p, state, max_waves=5, recrawl=True).run()
+
+    out = str(tmp_path / "due.parquet")
+    rc = job.main(["--state", state, "--base-interval", "100",
+                   "--as-of", "2030-01-01T00:00:00", "--out", out,
+                   "--print-seeds"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert f"{HOST}/" in printed and f"{HOST}/a" in printed
+    summary = _json.loads(printed.strip().splitlines()[-1])
+    assert summary["due"] == 2
+    due = spark.read.parquet(out)
+    assert {r.norm_url for r in due.collect()} == {f"{HOST}/", f"{HOST}/a"}
+    # static pages (no change between the two crawls) got the 10x interval
+    assert all(r.change_rate == 0.0 and r.interval_s == 1000.0
+               for r in due.collect())
+
+    rc = job.main(["--state", state, "--base-interval", "100000000",
+                   "--as-of", "2030-01-01T00:00:00"])
+    assert rc == 0
+    assert _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["due"] == 0
