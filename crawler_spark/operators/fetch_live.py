@@ -114,6 +114,8 @@ def http_fetch_one(
     ssl_cas: tuple = (),
     etag: str | None = None,
     last_modified: str | None = None,
+    retry_after_cap_s: float = 30.0,
+    _retried: bool = False,
 ) -> tuple:
     """One GET, redirects NOT followed, response adapted to the corpus
     marker conventions. Returns ``(body, etag, last_modified)`` — the
@@ -198,6 +200,26 @@ def http_fetch_one(
             return b"<!--STATUS:304-->", etag, last_modified
         if 300 <= e.code < 400 and e.headers.get("Location"):
             return f"<!--REDIRECT:{e.headers['Location']}-->".encode(), None, None
+        # rate limiting / transient overload (RFC 9110 §10.2.3): honor a
+        # bounded Retry-After once, then re-issue the request — the
+        # worker thread owns this host, so sleeping here IS the per-host
+        # backoff (no other request hits the host meanwhile)
+        if e.code in (429, 503) and not _retried:
+            ra = e.headers.get("Retry-After")
+            try:
+                wait = min(float(ra), retry_after_cap_s) if ra else None
+            except ValueError:
+                wait = None  # HTTP-date form / garbage: don't retry
+            if wait is not None:
+                import time as _time
+
+                _time.sleep(wait)
+                return http_fetch_one(
+                    url, timeout_s, max_bytes, user_agent, False,
+                    extractable_mimes, authorization, proxy_url,
+                    ssl_mode, ssl_cas, etag, last_modified,
+                    retry_after_cap_s, _retried=True,
+                )
         return f"<!--STATUS:{e.code}-->".encode(), None, None
     except Exception:
         return b"<!--STATUS:599-->", None, None

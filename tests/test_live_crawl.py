@@ -725,3 +725,62 @@ def test_live_crawl_honors_robots_crawl_delay(spark, tmp_path):
         assert abs(times["/b"] - times["/a"]) >= 0.9
     finally:
         server.shutdown()
+
+
+def test_retry_after_backoff_on_429():
+    """A 429 with Retry-After is retried once after the stated wait
+    (capped); a 429 without the header, or a second 429, is the final
+    Error-shaped result."""
+    import time
+
+    hits: dict = {}
+
+    class _RateLimit(BaseHTTPRequestHandler):
+        def do_GET(self):
+            n = hits[self.path] = hits.get(self.path, 0) + 1
+            if self.path == "/flaky" and n == 1:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                return
+            if self.path == "/always429":
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                return
+            if self.path == "/noheader":
+                self.send_response(429)
+                self.end_headers()
+                return
+            body = b"<html><head><title>ok</title></head><body>x</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    from crawler_spark.operators.fetch_live import http_fetch_one
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _RateLimit)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+
+        t0 = time.monotonic()
+        body, _, _ = http_fetch_one(f"{base}/flaky")
+        assert b"ok" in body  # recovered after the retry
+        assert time.monotonic() - t0 >= 0.9  # waited Retry-After
+        assert hits["/flaky"] == 2
+
+        body, _, _ = http_fetch_one(f"{base}/always429")
+        assert body == b"<!--STATUS:429-->"
+        assert hits["/always429"] == 2  # exactly one retry, then give up
+
+        body, _, _ = http_fetch_one(f"{base}/noheader")
+        assert body == b"<!--STATUS:429-->"
+        assert hits["/noheader"] == 1  # no Retry-After -> no retry
+    finally:
+        server.shutdown()
