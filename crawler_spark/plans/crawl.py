@@ -160,11 +160,12 @@ class SparkCrawler:
 
     def load_robots_df(self) -> DataFrame:
         """Distributed robots dimension — the 10^8-host path: robots bodies
-        are fetched by a url_hash join against the corpus and parsed
-        executor-side into ``(host_key, rules_json, sitemaps_json)``; the
-        driver never materializes the rules. (The site list itself comes
-        from config here; a production allowlist at that scale would arrive
-        as a table and enter the same join.)"""
+        are fetched by a url_hash join against the corpus (offline) or by
+        host-hashed live GETs on the executors (live mode — the driver
+        never fetches nor materializes the rules), then parsed
+        executor-side into ``(host_key, rules_json, sitemaps_json)``. (The
+        site list itself comes from config here; a production allowlist at
+        that scale would arrive as a table and enter the same join.)"""
         import json as _json
 
         sites = self.config.allowed_sites()
@@ -175,9 +176,46 @@ class SparkCrawler:
             [(r, h, U.url_sha1(r)) for r, h in rows if r],
             "norm_url string, host_key string, url_hash string",
         )
-        fetched = robots_df.join(
-            self.pages.select("url_hash", "html"), on="url_hash", how="left"
-        ).select("host_key", "norm_url", "html")
+        if self.live:
+            from ..operators.fetch_live import fetch_urls, proxy_url_from_config
+
+            cfgc = self.config
+            timeout = cfgc.request_timeout_s
+            max_b = cfgc.max_response_size
+            agent_s = cfgc.user_agent
+            threads = cfgc.live_fetch_threads
+            auth_cfgs = tuple(cfgc.domain_auth or ())
+            proxy = proxy_url_from_config(cfgc)
+            ssl_mode = cfgc.ssl_verification_mode
+            ssl_cas = tuple(cfgc.ssl_ca_certificates or ())
+
+            def fetch_robots(it):
+                import pandas as pd
+
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    bodies, _ = fetch_urls(
+                        list(pdf["norm_url"]),
+                        timeout_s=timeout, max_bytes=max_b,
+                        user_agent=agent_s, threads=threads,
+                        auth_configs=auth_cfgs, proxy_url=proxy,
+                        ssl_mode=ssl_mode, ssl_cas=ssl_cas,
+                    )
+                    out = pdf[["host_key", "norm_url"]].copy()
+                    out["html"] = pd.Series(
+                        bodies, index=pdf.index, dtype="object")
+                    yield out
+
+            fetched = robots_df.repartition(
+                F.expr("pmod(hash(host_key), 64)")
+            ).mapInPandas(
+                fetch_robots, "host_key string, norm_url string, html binary"
+            )
+        else:
+            fetched = robots_df.join(
+                self.pages.select("url_hash", "html"), on="url_hash", how="left"
+            ).select("host_key", "norm_url", "html")
         agent = self.config.user_agent
 
         def parse_part(it):
@@ -192,6 +230,10 @@ class SparkCrawler:
                         body = bytes(row.html)
                         if body.startswith(b"<!--STATUS:"):
                             rb = robots_mod.failed_fetch(int(body[11:14]))
+                        elif body.startswith(b"<!--REDIRECT:"):
+                            # redirected robots = fetch failure, same as
+                            # the broadcast-dict path
+                            rb = robots_mod.failed_fetch(404)
                         else:
                             rb = robots_mod.parse_robots_txt(
                                 body.decode("utf-8", "replace"),
@@ -339,7 +381,7 @@ class SparkCrawler:
         if not self.live:
             self.pages.count()
         prep_s = round(time.time() - t0, 3)
-        if not self.live and len(cfg.allowed_sites()) >= cfg.robots_dimension_threshold:
+        if len(cfg.allowed_sites()) >= cfg.robots_dimension_threshold:
             # 10^8-host path: rules stay a distributed dimension; only the
             # hosts that advertise sitemaps are collected (bounded by the
             # sitemap-advertising host count, not the host count)

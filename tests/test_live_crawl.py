@@ -784,3 +784,24 @@ def test_retry_after_backoff_on_429():
         assert hits["/noheader"] == 1  # no Retry-After -> no retry
     finally:
         server.shutdown()
+
+
+def test_live_robots_dimension_mode(spark, tmp_path, site_url):
+    """With the host count over robots_dimension_threshold, live mode
+    fetches robots.txt on the executors (distributed dimension, no
+    driver-side GET loop) and the crawl result is identical to the
+    broadcast-dict path: robots disallow still honored."""
+    from dataclasses import replace
+
+    cfg = CrawlConfig(
+        seed_urls=(f"{site_url}/",),
+        fetch_mode="live",
+        purge_crawl_enabled=False,
+    )
+    cfg = replace(cfg, robots_dimension_threshold=1)  # force the dimension
+    res = SparkCrawler(spark, cfg, None, str(tmp_path / "st"), max_waves=10).run()
+    assert {r["url"] for r in res.docs.collect()} == {
+        f"{site_url}/", f"{site_url}/a", f"{site_url}/b", f"{site_url}/gz"}
+    denied = {r["norm_url"]: r["deny_reason"]
+              for r in res.lineage.filter("deny_reason is not null").collect()}
+    assert denied.get(f"{site_url}/private/x") == "robots_txt_disallowed"
