@@ -393,6 +393,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prune → decontaminate → sequence packing
         return corpus_pipeline(_t(spark, sf, "documents"))
 
+    def pagerank_hosts(spark, sf):
+        # link-graph ranking for frontier prioritization: integer
+        # fixed-point PageRank — exact across engines AND partitionings
+        # (per-edge contributions are integer div, sums order-independent),
+        # so a 1000-executor run bit-matches the oracle. The rank feeds
+        # frontier_priority_expr as a stored priority column
+        from crawler_spark.operators.linkrank import pagerank
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        edges = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            )
+            .distinct()
+        )
+        return pagerank(edges, iterations=3)
+
+    def frontier_prio(spark, sf):
+        # S4 + north-rule grouped priority queue: the engine's dispatch()
+        # with a priority expression — each host spends its politeness
+        # quota (window 3s / delay 1s = 3 fetches) on its highest-priority
+        # URLs first, FIFO (depth, seq) as the deterministic tie-break
+        from crawler_spark.operators.politeness import dispatch
+
+        frontier = _t(spark, sf, "events").select(
+            F.col("user_id").alias("host_key"),
+            F.col("event_id").alias("seq"),
+            F.lit(0).alias("depth"),
+            F.lit(1000).alias("crawl_delay_ms"),
+            "value",
+        )
+        out = dispatch(frontier, window_s=3.0, priority_expr="value")
+        return out.filter(F.col("ready")).select(
+            F.col("host_key").alias("host"),
+            F.col("seq").alias("event_id"),
+            "dispatch_slot",
+        )
+
+    def model_score(spark, sf):
+        # pluggable model scoring: broadcast model object + Arrow-batched
+        # mapInPandas (the fastText/KenLM production shape). The "model"
+        # here is a deterministic integer-exact linear scorer (weights are
+        # powers of two) so the DuckDB oracle replays it bit-for-bit; a
+        # real classifier swaps the factory/scorer, same dataflow
+        from crawler_spark.textops.textstats import score_with_model
+
+        weights = spark.sparkContext.broadcast(
+            {"w_tokens": 4, "w_chars": 1, "bias": 3}
+        )
+
+        def factory():
+            return weights.value
+
+        def scorer(model, texts):
+            import numpy as np
+            import pandas as pd
+
+            chars = texts.str.len().astype("int64")
+            spaces = texts.str.count(" ").astype("int64")
+            tokens = np.where(chars == 0, 0, spaces + 1).astype("int64")
+            score = (
+                model["w_tokens"] * tokens + model["w_chars"] * chars + model["bias"]
+            ) / 16.0
+            return pd.DataFrame({"n_tokens": tokens, "model_score": score})
+
+        return score_with_model(
+            _t(spark, sf, "documents"),
+            factory,
+            out_schema="doc_id long, n_tokens long, model_score double",
+            batch_scorer=scorer,
+        )
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -440,6 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": strat_sample,
         "bpe_token_stats": bpe_tokens,
         "corpus_pipeline": pipeline_e2e,
+        "frontier_priority": frontier_prio,
+        "model_score": model_score,
+        "pagerank_hosts": pagerank_hosts,
     }
 
 
@@ -577,6 +655,35 @@ def _lsh_ann_sql() -> str:
       FROM scored)
     WHERE rank <= 10
 """
+
+
+def _pagerank_oracle(iterations: int = 3, damping: int = 85, scale: int = 1_000_000) -> str:
+    """Unrolled K-iteration integer PageRank — mirrors
+    operators/linkrank.py bit-for-bit (integer div, order-independent
+    sums; DuckDB's hugeint sum cast back to BIGINT)."""
+    base = (100 - damping) * scale // 100
+    ctes = [
+        """edges AS (
+              SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+              SELECT e.dst AS node, sum(({damping} * r.rank) // (100 * o.od)) AS m
+              FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                           JOIN outdeg o ON e.src = o.src
+              GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+              SELECT n.node, CAST({base} + coalesce(c{i}.m, 0) AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iterations}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1214,5 +1321,28 @@ def oracle_sql() -> dict[str, str]:
                    (vec_id = min(vec_id) OVER (PARTITION BY fp))
                      AS is_canonical
             FROM q
+        """,
+        "frontier_priority": """
+            SELECT user_id AS host, event_id,
+                   CAST(rnk - 1 AS DOUBLE) AS dispatch_slot
+            FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events) t
+            WHERE rnk <= 3
+        """,
+        "pagerank_hosts": _pagerank_oracle(),
+        "model_score": """
+            SELECT doc_id,
+                   (CASE WHEN length(text) = 0 THEN 0
+                         ELSE length(text) - length(replace(text, ' ', '')) + 1
+                    END) AS n_tokens,
+                   (4 * (CASE WHEN length(text) = 0 THEN 0
+                              ELSE length(text)
+                                   - length(replace(text, ' ', '')) + 1
+                         END)
+                    + length(text) + 3) / 16.0 AS model_score
+            FROM documents
         """,
     }

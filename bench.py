@@ -58,6 +58,9 @@ HEADLINE = [
     "bm25_score",
     "revisit_schedule",
     "corpus_mix",
+    "frontier_priority",
+    "model_score",
+    "pagerank_hosts",
 ]
 
 

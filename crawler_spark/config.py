@@ -108,6 +108,14 @@ class CrawlConfig:
     default_encoding: str = "UTF-8"
     default_crawl_delay_s: float = 0.0  # used when robots has none
     politeness_window_s: float = 0.0  # 0 = unlimited per-wave host quota
+    # frontier dispatch priority (operators/politeness.py priority_order):
+    # a Spark SQL expression over the frontier columns, higher first, FIFO
+    # (depth, seq) as the deterministic tie-break. "" = pure FIFO — the
+    # reference's BFS order. Only reorders WHICH urls a host spends its
+    # politeness quota on; the converged seen set is unchanged. Example:
+    # "-length(norm_url) - 100 * size(split(norm_url, '/'))" (short,
+    # shallow paths first — the classic frontier heuristic)
+    frontier_priority_expr: str = ""
     user_agent: str = "Elastic-Crawler"
     lineage_enabled: bool = True
     # wall-clock budget across primary+purge stages (config.rb:158 default

@@ -55,6 +55,7 @@ _DIRECT_KEYS = (
     "http_proxy_password",
     "ssl_verification_mode",
     "reuse_unchanged_pages",
+    "frontier_priority_expr",
 )
 
 _RUBY_INT_RE = re.compile(r"\A\d[\d_]*\Z")

@@ -29,11 +29,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def priority_order(priority_expr: str | None = None) -> list:
+    """Frontier dispatch order within a host: FIFO ``(depth, seq)`` —
+    the reference's BFS queue order (coordinator.rb pops in insertion
+    order) — optionally preceded by a configurable priority expression
+    (higher first). The expression is any Spark SQL over the frontier
+    columns (norm_url, depth, host_key, crawl_delay_ms, seq, ...), e.g.
+    ``-length(norm_url)`` for shortest-URL-first or a stored link-score
+    column. FIFO stays the tie-break so priority mode remains fully
+    deterministic, and the default (no expr) is byte-identical to the
+    reference ordering.
+    """
+    order = [F.col("depth").asc(), F.col("seq").asc()]
+    if priority_expr:
+        order.insert(0, F.expr(priority_expr).desc())
+    return order
+
+
 def dispatch(
     frontier: DataFrame,
     window_s: float,
     default_delay_s: float = 0.0,
     max_per_host: int | None = None,
+    priority_expr: str | None = None,
 ) -> DataFrame:
     """Return frontier with a ``ready`` boolean and ``dispatch_slot``.
 
@@ -41,8 +59,13 @@ def dispatch(
     rank per host, informational).
 
     frontier needs columns: host_key, crawl_delay_ms, depth, seq.
+
+    ``priority_expr``: see :func:`priority_order` — reorders which URLs a
+    host spends its politeness quota on (highest priority first); the
+    final seen set is unaffected when budgets are unbounded, only the
+    fetch order across waves changes.
     """
-    w = Window.partitionBy("host_key").orderBy(F.col("depth").asc(), F.col("seq").asc())
+    w = Window.partitionBy("host_key").orderBy(*priority_order(priority_expr))
     ranked = frontier.withColumn("_hrank", F.row_number().over(w))
     delay_s = F.when(F.col("crawl_delay_ms") > 0, F.col("crawl_delay_ms") / 1000.0).otherwise(
         F.lit(float(default_delay_s))
@@ -66,21 +89,36 @@ def dispatch(
 _SCHEDULE_COLS = ["host_key", "norm_url", "url_hash", "depth", "seq", "slot_s", "batch_idx"]
 
 
-def dispatch_schedule(frontier: DataFrame, window_s: float, default_delay_s: float = 0.0) -> DataFrame:
+def dispatch_schedule(
+    frontier: DataFrame,
+    window_s: float,
+    default_delay_s: float = 0.0,
+    priority_expr: str | None = None,
+) -> DataFrame:
     """Per-host fetch *schedule* via ``applyInPandas`` — the grouped
     priority-queue form from the north rule, used by the live-fetch path:
     each host group sorts FIFO and assigns each task a start offset
     ``slot_s = i * crawl_delay`` and a window batch index
     ``batch_idx = floor(slot_s / window)``.
 
+    ``priority_expr`` (see :func:`priority_order`) is evaluated JVM-side
+    into a ``_priority`` column before the groupBy so the pandas timeline
+    only sorts — the expression never crosses the Arrow boundary.
+
     The batch-mode crawl loop uses :func:`dispatch` (pure window, JVM-side,
     same quota semantics, no Python boundary); this function exists for the
     scheduler surface where an actual per-host timeline is required.
     """
     wdw = float(window_s) if window_s and window_s > 0 else 0.0
+    sort_cols = ["depth", "seq"]
+    if priority_expr:
+        frontier = frontier.withColumn(
+            "_neg_priority", -F.expr(priority_expr).cast("double")
+        )
+        sort_cols = ["_neg_priority", "depth", "seq"]
 
     def plan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["depth", "seq"], kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         delay = pdf["crawl_delay_ms"].iloc[0] / 1000.0
         if not delay or delay <= 0:
             delay = float(default_delay_s)

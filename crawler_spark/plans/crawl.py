@@ -496,7 +496,8 @@ class SparkCrawler:
             if politeness_on:
                 # politeness dispatch (S4): quota per host under the delay budget
                 dispatched = dispatch(
-                    frontier, cfg.politeness_window_s, cfg.default_crawl_delay_s
+                    frontier, cfg.politeness_window_s, cfg.default_crawl_delay_s,
+                    priority_expr=cfg.frontier_priority_expr or None,
                 )
                 ready, deferred = split_ready(dispatched)
                 ready = ready.cache()

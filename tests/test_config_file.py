@@ -134,6 +134,7 @@ def test_example_config_parses_completely():
     assert cfg.max_body_size == 5_242_880  # Ruby underscore literal
     assert cfg.ssl_verification_mode == "full"
     assert cfg.reuse_unchanged_pages is False
+    assert cfg.frontier_priority_expr == ""
     assert cfg.url_queue_size_limit == 10000
     # only documented non-engine keys remain in extras
     assert set(extras) == {"output_sink"}
