@@ -413,6 +413,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=3)
 
+    def host_quality(spark, sf):
+        # C4/RefinedWeb-style domain pruning: drop whole sources whose
+        # average doc quality is under the floor; integer fixed-point
+        # mean so the threshold comparison is bit-exact in any engine
+        from crawler_spark.textops.corpusfilter import host_quality_filter
+
+        return host_quality_filter(_t(spark, sf, "documents"))
+
     def frontier_prio(spark, sf):
         # S4 + north-rule grouped priority queue: the engine's dispatch()
         # with a priority expression — each host spends its politeness
@@ -518,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_priority": frontier_prio,
         "model_score": model_score,
         "pagerank_hosts": pagerank_hosts,
+        "host_quality_filter": host_quality,
     }
 
 
@@ -1333,6 +1342,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 3
         """,
         "pagerank_hosts": _pagerank_oracle(),
+        "host_quality_filter": f"""
+            WITH q AS (
+              SELECT doc_id, source,
+                     round(CASE WHEN length(text) >= 100 AND length(text) <= 10000
+                                THEN 0.5 ELSE 0.0 END
+                           + least(round({_STOP} / ({_TOKENS}), 4) * 2, 0.5), 4)
+                       AS quality
+              FROM documents),
+            fp AS (SELECT doc_id, source, quality,
+                          CAST(round(quality * 10000) AS BIGINT) AS qfp
+                   FROM q),
+            h AS (SELECT source, sum(qfp) AS sum_fp, count(*) AS n_docs
+                  FROM fp GROUP BY source)
+            SELECT f.doc_id, f.source, f.quality,
+                   CAST(h.sum_fp // h.n_docs AS BIGINT) AS host_avg_fp,
+                   h.n_docs
+            FROM fp f JOIN h ON f.source = h.source
+            WHERE h.sum_fp // h.n_docs >= 5500
+        """,
         "model_score": """
             SELECT doc_id,
                    (CASE WHEN length(text) = 0 THEN 0

@@ -61,6 +61,7 @@ HEADLINE = [
     "frontier_priority",
     "model_score",
     "pagerank_hosts",
+    "host_quality_filter",
 ]
 
 

@@ -116,6 +116,17 @@ class CrawlConfig:
     # "-length(norm_url) - 100 * size(split(norm_url, '/'))" (short,
     # shallow paths first — the classic frontier heuristic)
     frontier_priority_expr: str = ""
+    # optional priority dimension: a parquet table left-joined onto the
+    # frontier before dispatch so frontier_priority_expr can reference its
+    # columns (e.g. a stored linkrank.pagerank output). Keyed by
+    # priority_dimension_key: "url_hash" for URL-level scores, or
+    # "host_key" for host-level scores combined with URL features in the
+    # expression ("coalesce(rank, 0) * 1000 - length(norm_url)") — a bare
+    # host score is constant within a host and per-host quotas make it a
+    # no-op across hosts. Dimension columns must not collide with frontier
+    # columns (except the key). AQE broadcasts it when it fits
+    priority_dimension_path: str = ""
+    priority_dimension_key: str = "host_key"
     user_agent: str = "Elastic-Crawler"
     lineage_enabled: bool = True
     # wall-clock budget across primary+purge stages (config.rb:158 default

@@ -56,6 +56,8 @@ _DIRECT_KEYS = (
     "ssl_verification_mode",
     "reuse_unchanged_pages",
     "frontier_priority_expr",
+    "priority_dimension_path",
+    "priority_dimension_key",
 )
 
 _RUBY_INT_RE = re.compile(r"\A\d[\d_]*\Z")

@@ -481,6 +481,12 @@ class SparkCrawler:
 
         politeness_on = cfg.politeness_window_s > 0 or cfg.default_crawl_delay_s > 0
         pending_count = None  # known pending-frontier size when politeness off
+        # stored priority dimension (e.g. a linkrank.pagerank output) the
+        # priority expression can reference; wave-invariant, loaded once
+        prio_dim = (
+            self.spark.read.parquet(cfg.priority_dimension_path)
+            if cfg.priority_dimension_path else None
+        )
         self.outcome = ("primary", "success", "Completed the primary crawl.")
 
         while wave <= base_wave + self.max_waves:
@@ -495,8 +501,13 @@ class SparkCrawler:
                 break
             if politeness_on:
                 # politeness dispatch (S4): quota per host under the delay budget
+                disp_in = frontier
+                if prio_dim is not None:
+                    disp_in = frontier.join(
+                        prio_dim, cfg.priority_dimension_key, "left"
+                    )
                 dispatched = dispatch(
-                    frontier, cfg.politeness_window_s, cfg.default_crawl_delay_s,
+                    disp_in, cfg.politeness_window_s, cfg.default_crawl_delay_s,
                     priority_expr=cfg.frontier_priority_expr or None,
                 )
                 ready, deferred = split_ready(dispatched)

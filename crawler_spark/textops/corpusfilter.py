@@ -417,3 +417,44 @@ def corpus_mix_report(
             ).alias("src_weight_sqrt"),
         )
     )
+
+
+def host_quality_filter(
+    df: DataFrame,
+    source_col: str = "source",
+    min_avg_quality: float = 0.55,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-level quality gate — drop WHOLE sources whose average
+    document quality falls below the floor (the C4/RefinedWeb practice of
+    pruning bad domains outright rather than per-document: a domain's
+    average is a far stronger spam signal than any single page).
+
+    The average is integer-exact fixed point: per-doc quality (already
+    round(·,4)) is scaled to a BIGINT (×10000), summed (order-independent),
+    and integer-divided by the doc count — so a distributed run and the
+    SQL oracle agree bit-for-bit where a float mean could differ in the
+    last ulp near the threshold.
+
+    Scale shape: quality is a pure projection (no shuffle), the per-source
+    rollup is one map-side-combined agg whose output is host-cardinality
+    (tiny), and the join-back broadcasts under AQE. One shuffle total.
+    """
+    from .textstats import quality_score
+
+    thr = int(round(min_avg_quality * 10000))
+    q = quality_score(df, text_col=text_col, id_col=id_col,
+                      extra_cols=(source_col,))
+    qfp = F.round(F.col("quality") * 10000).cast("bigint")
+    scored = q.select(id_col, source_col, "quality", qfp.alias("_qfp"))
+    hosts = scored.groupBy(source_col).agg(
+        F.sum("_qfp").alias("_sum_fp"), F.count("*").alias("n_docs")
+    )
+    avg_fp = F.expr("_sum_fp div n_docs")
+    return (
+        scored.join(hosts, source_col)
+        .withColumn("host_avg_fp", avg_fp)
+        .filter(F.col("host_avg_fp") >= F.lit(thr))
+        .select(id_col, source_col, "quality", "host_avg_fp", "n_docs")
+    )

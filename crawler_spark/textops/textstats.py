@@ -37,10 +37,18 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
     """Heuristic quality features + composite score: length band, stopword
     ratio, repetition (distinct/total token ratio via top-token share is
-    approximated by the 'the' share here to stay oracle-portable)."""
+    approximated by the 'the' share here to stay oracle-portable).
+
+    ``extra_cols``: pass-through columns (e.g. the source/host for a
+    domain-level rollup) — keeps downstream consumers join-free."""
     t = F.col(text_col)
     spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
     tokens = F.when(F.length(t) == 0, 0).otherwise(spaces + 1)
@@ -52,6 +60,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         tokens.alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         len_ok.cast("boolean").alias("length_ok"),

@@ -298,3 +298,25 @@ def test_corpus_mix_sqrt_weights(spark):
     assert abs(out[("books", "en")].src_weight_sqrt - 1 / total) < 1e-3
     # weights are per source: both web rows carry the same weight
     assert out[("web", "en")].src_weight_sqrt == out[("web", "de")].src_weight_sqrt
+
+
+def test_host_quality_filter_prunes_whole_domains(spark):
+    """C4-style domain gate: a source whose AVERAGE quality is under the
+    floor loses all its docs — including its individually-good ones — and
+    a good source keeps its individually-bad ones."""
+    from crawler_spark.textops.corpusfilter import host_quality_filter
+
+    good = "the a and " * 40      # len 400, high stopword share -> quality 1.0
+    bad = "zz " * 10              # len 30, no stopwords -> quality 0.0
+    rows = [
+        (1, "spamhost", bad), (2, "spamhost", bad), (3, "spamhost", good),
+        (4, "goodhost", good), (5, "goodhost", good), (6, "goodhost", bad),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = host_quality_filter(df, min_avg_quality=0.5)
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert set(kept) == {4, 5, 6}          # all of goodhost, none of spamhost
+    assert kept[6]["quality"] < 0.5        # the bad doc rides its good host
+    # fixed-point average: goodhost = (10000+10000+0) div 3 = 6666
+    assert kept[4]["host_avg_fp"] == 6666
+    assert all(r["n_docs"] == 3 for r in kept.values())

@@ -128,3 +128,20 @@ def test_revisit_schedule_single_shuffle(spark, entry_queries):
     assert plan.count("hashpartitioning(") == 1
     # the window sort is partition-local — no global sort exchange
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_pagerank_partial_agg_and_no_global_sort(spark, entry_queries):
+    """Each iteration's contribution rollup is map-side combined (partial
+    + final HashAggregate pairs) and nothing range-partitions — the
+    iterate-join-aggregate chain must stay hash-exchange only."""
+    plan = _formatted_plan(entry_queries["pagerank_hosts"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 6  # 3 iterations x partial/final
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_host_quality_filter_single_corpus_shuffle(spark, entry_queries):
+    """Quality is a projection; the only corpus-wide exchange is the
+    per-source rollup (host-cardinality output, broadcast back)."""
+    plan = _formatted_plan(entry_queries["host_quality_filter"](spark, SF_DIR))
+    assert plan.count("hashpartitioning(") <= 2
+    assert "rangepartitioning" not in plan.lower()

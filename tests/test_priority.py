@@ -119,3 +119,53 @@ def test_priority_crawl_converges_to_fifo_seen_set(spark, tmp_path):
     docs = lambda res: {r["url"] for r in res.docs.collect()}
     assert seen(prio) == seen(fifo) == set(pages)
     assert docs(prio) == docs(fifo) == set(pages)
+
+
+def test_priority_dimension_join_feeds_expression(spark, tmp_path):
+    """The full loop: pagerank a link graph, store it as a priority
+    dimension, crawl with an expression mixing the stored host rank with
+    a URL feature — the crawl runs and converges to the same sets."""
+    from crawler_spark.fixtures.gen import write_parquet
+    from crawler_spark.operators.linkrank import pagerank
+
+    host = "https://dim.test"
+    pages = _pages(host, {
+        "/": ["/aa", "/b"], "/aa": ["/c"], "/b": [], "/c": [],
+    })
+    rows = [
+        {"url": u, "warc_ts": EPOCH + dt.timedelta(seconds=i),
+         "html": h.encode(), "text": "", "lang": "en"}
+        for i, (u, h) in enumerate(sorted(pages.items()))
+    ]
+    corpus_path = str(tmp_path / "pages.parquet")
+    write_parquet(rows, corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    # host-level rank from a toy cross-host graph, stored as the dimension
+    edges = spark.createDataFrame(
+        [("other.test", "dim.test"), ("third.test", "dim.test")],
+        "src string, dst string")
+    dim_path = str(tmp_path / "prio_dim.parquet")
+    (pagerank(edges, iterations=2)
+     # frontier host_key format is scheme://host:port (urlnorm.url_host_key)
+     .select(F.concat(F.lit("https://"), F.col("node"), F.lit(":443"))
+             .alias("host_key"), "rank")
+     .write.parquet(dim_path))
+    dim = spark.read.parquet(dim_path)
+    assert dim.filter("host_key = 'https://dim.test:443'").count() == 1
+
+    cfg = CrawlConfig(
+        seed_urls=(f"{host}/",),
+        politeness_window_s=1.0,
+        default_crawl_delay_s=1.0,
+        frontier_priority_expr="coalesce(rank, 0) * 1000 - length(norm_url)",
+        priority_dimension_path=dim_path,
+        priority_dimension_key="host_key",
+        purge_crawl_enabled=False,
+    )
+    res = SparkCrawler(spark, cfg, corpus, str(tmp_path / "st"),
+                       max_waves=20).run()
+    assert {r["norm_url"] for r in res.seen.collect()} == set(pages)
+    assert {r["url"] for r in res.docs.collect()} == set(pages)
+    # frontier cols survive the dimension join (deferred re-entered clean)
+    assert "rank" not in res.seen.columns
