@@ -413,6 +413,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=3)
 
+    def dup_spans(spark, sf):
+        # ExactSubstr-style span dedup (Lee et al. 2021): per-doc share of
+        # 8-token windows whose corpus frequency > 1 — suffix-array
+        # detection power at k-token resolution, no global sort
+        from crawler_spark.textops.dedup import duplicated_span_stats
+
+        return duplicated_span_stats(_t(spark, sf, "documents"))
+
     def host_quality(spark, sf):
         # C4/RefinedWeb-style domain pruning: drop whole sources whose
         # average doc quality is under the floor; integer fixed-point
@@ -527,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_score": model_score,
         "pagerank_hosts": pagerank_hosts,
         "host_quality_filter": host_quality,
+        "duplicated_spans": dup_spans,
     }
 
 
@@ -1342,6 +1351,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 3
         """,
         "pagerank_hosts": _pagerank_oracle(),
+        "duplicated_spans": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            w AS (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+                THEN [md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                      for i in generate_series(1, len(t) - 7)]
+                ELSE [md5(array_to_string(t, ' '))] END) AS h
+              FROM toks),
+            freq AS (SELECT h, count(*) AS tf FROM w GROUP BY h)
+            SELECT w.doc_id, count(*) AS n_windows,
+                   CAST(sum(CASE WHEN f.tf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_windows,
+                   round(sum(CASE WHEN f.tf > 1 THEN 1 ELSE 0 END)
+                         / count(*), 4) AS dup_ratio
+            FROM w JOIN freq f ON w.h = f.h
+            GROUP BY w.doc_id
+        """,
         "host_quality_filter": f"""
             WITH q AS (
               SELECT doc_id, source,

@@ -62,6 +62,7 @@ HEADLINE = [
     "model_score",
     "pagerank_hosts",
     "host_quality_filter",
+    "duplicated_spans",
 ]
 
 

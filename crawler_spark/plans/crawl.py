@@ -792,28 +792,7 @@ class SparkCrawler:
         return wave + 1
 
     def _live_docs(self) -> DataFrame:
-        """Latest doc-eligible row per id from the parsed table, minus
-        tombstoned ids (merge-on-read docs view)."""
-        from pyspark.sql import Window
-
-        d = docs_from_parsed(
-            self.store.read("parsed"), self.config, extra_cols=("wave",)
-        )
-        w = Window.partitionBy("id").orderBy(F.col("wave").desc())
-        d = (
-            d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        purged = self.store.read("purged")
-        if purged is not None:
-            tomb = purged.groupBy("id").agg(F.max("wave").alias("_pw"))
-            d = (
-                d.join(tomb, on="id", how="left")
-                .filter(F.col("_pw").isNull() | (F.col("wave") > F.col("_pw")))
-                .drop("_pw")
-            )
-        return d
+        return state_docs_view(self.store, self.config)
 
     def compact_state(self):
         """Maintenance pass between crawls (Iceberg table-maintenance
@@ -1157,6 +1136,35 @@ class SparkCrawler:
             .withColumn("needs_norm", F.lit(True))
         )
         return redirects.unionByName(raw.select(*redirects.columns))
+
+
+def state_docs_view(store, config=None) -> DataFrame:
+    """Merge-on-read docs view over a crawl state dir: latest doc-eligible
+    row per id from the parsed table, minus tombstoned ids. Standalone so
+    downstream jobs (rank_hosts, refresh pipelines) read docs from a state
+    directory without constructing a SparkCrawler."""
+    from pyspark.sql import Window
+
+    from ..config import CrawlConfig
+
+    d = docs_from_parsed(
+        store.read("parsed"), config or CrawlConfig(), extra_cols=("wave",)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("wave").desc())
+    d = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    purged = store.read("purged")
+    if purged is not None:
+        tomb = purged.groupBy("id").agg(F.max("wave").alias("_pw"))
+        d = (
+            d.join(tomb, on="id", how="left")
+            .filter(F.col("_pw").isNull() | (F.col("wave") > F.col("_pw")))
+            .drop("_pw")
+        )
+    return d
 
 
 class CrawlResult:

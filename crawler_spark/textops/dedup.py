@@ -453,3 +453,45 @@ def chunk_dedup(
         F.sum("dup").alias("n_dup_chunks"),
         F.round(F.sum("dup") / F.count("*"), 4).alias("dup_ratio"),
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame, span: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Substring-level duplication stats — the span-window re-expression of
+    ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): every run of ``span`` consecutive tokens is a
+    window; a window whose corpus frequency exceeds 1 marks a duplicated
+    region. Any substring of ≥ span shared tokens (across docs OR repeated
+    within one) necessarily contains a complete shared window, so per-doc
+    ``dup_ratio`` upper-bound-detects exactly what a suffix array would,
+    at k-token resolution — without the suffix array's global sort.
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_ratio); curation drops
+    or trims docs above a ratio threshold.
+
+    Scale shape: the window explode (~n_tokens rows/doc) is consumed twice
+    (frequency agg + join-back) → persisted once, same materialization
+    point as rare_token_stats. Frequency output is Zipf-small; AQE
+    broadcasts the join-back when it fits and splits skewed boilerplate
+    windows otherwise; the final per-doc rollup partial-aggregates
+    map-side.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    wh = (
+        df.select(F.col(id_col), F.explode(_grams_col(text_col, span)).alias("_g"))
+        .select(id_col, F.md5(F.col("_g")).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = wh.groupBy("h").agg(F.count("*").alias("tf"))
+    dup = (F.col("tf") > 1).cast("int")
+    return (
+        wh.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+            F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
+        )
+    )

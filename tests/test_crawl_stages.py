@@ -582,3 +582,47 @@ def test_refresh_due_job_on_real_state(spark, tmp_path, capsys):
     assert rc == 0
     assert _json.loads(
         capsys.readouterr().out.strip().splitlines()[-1])["due"] == 0
+
+
+def test_rank_hosts_job_end_to_end(spark, tmp_path, capsys):
+    """jobs/rank_hosts.py over a real crawl's state dir: the linked-to
+    host outranks the linking host, and the emitted dimension joins back
+    into a priority-dispatched crawl."""
+    import json as _json
+
+    import jobs.rank_hosts as job
+
+    h1, h2 = "https://r1.test", "https://r2.test"
+    v = {
+        f"{h1}/": _page([f"{h2}/", "/a"]),
+        f"{h1}/a": _page([f"{h2}/"]),
+        f"{h2}/": _page([]),
+    }
+    p = _write(spark, _rows(v), str(tmp_path / "v.parquet"))
+    cfg = CrawlConfig(seed_urls=(f"{h1}/", f"{h2}/"),
+                      purge_crawl_enabled=False)
+    state = str(tmp_path / "state")
+    SparkCrawler(spark, cfg, p, state, max_waves=5).run()
+
+    out = str(tmp_path / "host_rank.parquet")
+    rc = job.main(["--state", state, "--out", out])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["hosts"] == 2
+    dim = {r["host_key"]: r["rank"]
+           for r in spark.read.parquet(out).collect()}
+    # r2 is linked-to (from r1's pages); r1 has no in-links
+    assert dim["https://r2.test:443"] > dim["https://r1.test:443"]
+    assert "http://r2.test:80" in dim  # both scheme variants emitted
+
+    # the dimension drives a prioritized crawl on a fresh state
+    cfg2 = CrawlConfig(
+        seed_urls=(f"{h1}/", f"{h2}/"),
+        politeness_window_s=1.0, default_crawl_delay_s=1.0,
+        priority_dimension_path=out,
+        frontier_priority_expr="coalesce(rank, 0)",
+        purge_crawl_enabled=False,
+    )
+    res = SparkCrawler(spark, cfg2, p, str(tmp_path / "state2"),
+                       max_waves=20).run()
+    assert {r["norm_url"] for r in res.seen.collect()} == set(v)

@@ -417,3 +417,34 @@ def test_bm25_plan_is_single_pass(spark):
     plan = bm25_score(df, terms=["spark", "merge"])._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan  # no explode
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_duplicated_span_stats_values(spark):
+    """Hand-computed span-window duplication: cross-doc shared runs and
+    within-doc repetition both count; unique docs score 0."""
+    from crawler_spark.textops.dedup import duplicated_span_stats
+
+    rows = [
+        (1, "a b c d e f"),            # windows: abc bcd cde def
+        (2, "x y a b c d q"),          # shares abc, bcd with doc 1
+        (3, "m n o p"),                # unique
+        (4, "r s t r s t r s t"),      # pure self-repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_span_stats(df, span=3).collect()}
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"], out[1]["dup_ratio"]) == (4, 2, 0.5)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"], out[2]["dup_ratio"]) == (5, 2, 0.4)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"], out[3]["dup_ratio"]) == (2, 0, 0.0)
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"], out[4]["dup_ratio"]) == (7, 7, 1.0)
+
+
+def test_duplicated_span_short_doc_whole_text_window(spark):
+    # docs shorter than the span hash as one whole-text window
+    from crawler_spark.textops.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_span_stats(df, span=8).collect()}
+    assert out[1]["dup_ratio"] == out[2]["dup_ratio"] == 1.0
+    assert out[3]["dup_ratio"] == 0.0
