@@ -413,6 +413,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=3)
 
+    def lang_id_model(spark, sf):
+        # model-based language ID through the production scoring path
+        # (broadcast model + Arrow-batched mapInPandas — what a fastText
+        # .bin swap looks like). The "model" is the marker table; counts
+        # use literal left-to-right replace arithmetic, bit-identical to
+        # the SQL oracle's replace() by construction
+        from crawler_spark.textops.textstats import LANG_MARKERS, score_with_model
+
+        model_bc = spark.sparkContext.broadcast(dict(LANG_MARKERS))
+
+        def factory():
+            return model_bc.value
+
+        def scorer(model, texts):
+            import pandas as pd
+
+            padded = " " + texts + " "
+            scores = {}
+            for lg, markers in model.items():
+                s = None
+                for m in markers:
+                    needle = f" {m} "
+                    occ = (
+                        padded.str.len()
+                        - padded.str.replace(needle, " ", regex=False).str.len()
+                    ) // (len(needle) - 1)
+                    s = occ if s is None else s + occ
+                scores[lg] = s.astype("int64")
+            best = None
+            pred = pd.Series("unknown", index=texts.index)
+            for lg in model:  # first-listed language wins ties
+                best = scores[lg] if best is None else best.combine(scores[lg], max)
+            for lg in reversed(list(model)):
+                pred = pred.mask((best > 0) & (scores[lg] == best), lg)
+            return pd.DataFrame({"lang_pred": pred})
+
+        return score_with_model(
+            _t(spark, sf, "documents"),
+            factory,
+            out_schema="doc_id long, lang_pred string",
+            batch_scorer=scorer,
+        )
+
     def dup_spans(spark, sf):
         # ExactSubstr-style span dedup (Lee et al. 2021): per-doc share of
         # 8-token windows whose corpus frequency > 1 — suffix-array
@@ -536,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": pagerank_hosts,
         "host_quality_filter": host_quality,
         "duplicated_spans": dup_spans,
+        "lang_id_model": lang_id_model,
     }
 
 
@@ -823,6 +867,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, sha256(text) AS fp_sha256, strlen(text) AS n_bytes
             FROM documents
+        """,
+        "lang_id_model": f"""
+            WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0
+                        THEN 'unknown'
+                        WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                        WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
         """,
         "rare_token_stats": """
             WITH toks AS (

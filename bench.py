@@ -63,6 +63,7 @@ HEADLINE = [
     "pagerank_hosts",
     "host_quality_filter",
     "duplicated_spans",
+    "lang_id_model",
 ]
 
 

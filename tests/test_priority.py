@@ -169,3 +169,40 @@ def test_priority_dimension_join_feeds_expression(spark, tmp_path):
     assert {r["url"] for r in res.docs.collect()} == set(pages)
     # frontier cols survive the dimension join (deferred re-entered clean)
     assert "rank" not in res.seen.columns
+
+
+def test_priority_dimension_url_keyed(spark, tmp_path):
+    """URL-keyed dimension: per-URL scores reorder WITHIN a host (the
+    general case — host-keyed scores are constant inside the window)."""
+    from crawler_spark.fixtures.gen import write_parquet
+    from crawler_spark.functions.urlnorm import url_sha1
+
+    host = "https://udim.test"
+    pages = _pages(host, {"/": ["/x", "/y", "/z"], "/x": [], "/y": [], "/z": []})
+    rows = [
+        {"url": u, "warc_ts": EPOCH + dt.timedelta(seconds=i),
+         "html": h.encode(), "text": "", "lang": "en"}
+        for i, (u, h) in enumerate(sorted(pages.items()))
+    ]
+    corpus_path = str(tmp_path / "pages.parquet")
+    write_parquet(rows, corpus_path)
+
+    dim_path = str(tmp_path / "url_dim.parquet")
+    spark.createDataFrame(
+        [(url_sha1(f"{host}/y"), 10), (url_sha1(f"{host}/x"), 1)],
+        "url_hash string, score long",
+    ).write.parquet(dim_path)
+
+    cfg = CrawlConfig(
+        seed_urls=(f"{host}/",),
+        politeness_window_s=1.0,
+        default_crawl_delay_s=1.0,
+        frontier_priority_expr="coalesce(score, 0)",
+        priority_dimension_path=dim_path,
+        priority_dimension_key="url_hash",
+        purge_crawl_enabled=False,
+    )
+    res = SparkCrawler(spark, cfg, spark.read.parquet(corpus_path),
+                       str(tmp_path / "st"), max_waves=20).run()
+    assert {r["norm_url"] for r in res.seen.collect()} == set(pages)
+    assert {r["url"] for r in res.docs.collect()} == set(pages)
