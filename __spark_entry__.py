@@ -527,6 +527,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             batch_scorer=scorer,
         )
 
+    def ccnet_b(spark, sf):
+        # CCNet head/middle/tail: per-language cumulative-size thirds over
+        # a perplexity proxy — histogram + broadcast cutoffs, never a
+        # per-language global sort of the corpus
+        from crawler_spark.textops.corpusfilter import ccnet_buckets
+
+        return ccnet_buckets(_t(spark, sf, "documents"))
+
+    def dsir_w(spark, sf):
+        # DSIR importance weights: hashed-feature target/raw frequency
+        # ratios (integer fixed point), one conditional-sum pass + a
+        # 256-row broadcast weight join
+        from crawler_spark.textops.corpusfilter import dsir_weights
+
+        return dsir_weights(_t(spark, sf, "documents"))
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -580,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_filter": host_quality,
         "duplicated_spans": dup_spans,
         "lang_id_model": lang_id_model,
+        "ccnet_buckets": ccnet_b,
+        "dsir_weights": dsir_w,
     }
 
 
@@ -1454,5 +1472,47 @@ def oracle_sql() -> dict[str, str]:
                          END)
                     + length(text) + 3) / 16.0 AS model_score
             FROM documents
+        """,
+        "ccnet_buckets": """
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(text) AS BIGINT) * 100
+                       // greatest(CASE WHEN length(text) = 0 THEN 0
+                                        ELSE length(text)
+                                             - length(replace(text, ' ', '')) + 1
+                                   END, 1) AS ppl_fp
+              FROM documents),
+            hist AS (SELECT lang, ppl_fp, sum(n_chars) AS chars
+                     FROM scored GROUP BY lang, ppl_fp),
+            cum AS (
+              SELECT lang, ppl_fp,
+                     sum(chars) OVER (PARTITION BY lang ORDER BY ppl_fp) AS cum,
+                     sum(chars) OVER (PARTITION BY lang) AS total
+              FROM hist),
+            cuts AS (
+              SELECT lang,
+                     min(CASE WHEN cum * 3 >= total THEN ppl_fp END) AS head_cut,
+                     min(CASE WHEN cum * 3 >= 2 * total THEN ppl_fp END) AS mid_cut
+              FROM cum GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.ppl_fp,
+                   CASE WHEN s.ppl_fp <= c.head_cut THEN 'head'
+                        WHEN s.ppl_fp <= c.mid_cut THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN cuts c ON s.lang = c.lang
+        """,
+        "dsir_weights": """
+            WITH feats AS (
+              SELECT doc_id,
+                     substr(md5(unnest(string_split(text, ' '))), 1, 2) AS f,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_tgt
+              FROM documents),
+            counts AS (SELECT f, count(*) AS qn, sum(is_tgt) AS pn
+                       FROM feats GROUP BY f),
+            w AS (SELECT f, ((pn + 1) * 100000) // (qn + 1) AS w_fp FROM counts)
+            SELECT feats.doc_id, count(*) AS n_feats,
+                   CAST(sum(w.w_fp) AS BIGINT) AS dsir_score_fp
+            FROM feats JOIN w ON feats.f = w.f
+            GROUP BY feats.doc_id
         """,
     }

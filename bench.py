@@ -64,6 +64,8 @@ HEADLINE = [
     "host_quality_filter",
     "duplicated_spans",
     "lang_id_model",
+    "ccnet_buckets",
+    "dsir_weights",
 ]
 
 

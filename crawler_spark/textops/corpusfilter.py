@@ -419,6 +419,132 @@ def corpus_mix_report(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): order each language's documents by an LM-perplexity score and
+    split them into head / middle / tail at cumulative-size thirds — the
+    head third of every language is the high-quality slice the paper
+    trains on.
+
+    The perplexity stand-in is integer fixed point — chars-per-token ×100
+    (``(n_chars * 100) div n_tokens``): longer average tokens ≈ rarer
+    vocabulary ≈ worse LM fit. A real KenLM swaps in via
+    ``score_with_model`` (same downstream bucketing); the integer proxy
+    keeps the DuckDB oracle bit-exact.
+
+    Scale shape — NO per-language global sort of the corpus (the naive
+    window over ``partitionBy(lang) orderBy(ppl)`` puts all of 'en' in
+    one partition): instead the score histogram is aggregated per
+    (lang, ppl_fp) — bounded cardinality: ~langs × score range — the
+    cumulative thirds are computed on that tiny table, and each doc is
+    bucketed by comparing its score against the two broadcast per-lang
+    cutoffs. Per-doc work is a projection + broadcast join; the only
+    corpus shuffle is the map-side-combined histogram aggregate. Boundary
+    ties go to the earlier bucket (whole score values are never split
+    across buckets — quantile-cutoff semantics, deterministic in any
+    engine).
+    """
+    t = F.col(text_col)
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    tokens = F.when(F.length(t) == 0, 0).otherwise(spaces + 1)
+    scored = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.length(t).cast("bigint").alias("n_chars"),
+        tokens.cast("bigint").alias("n_tokens"),
+    ).withColumn("ppl_fp", F.expr("(n_chars * 100) div greatest(n_tokens, 1)"))
+    hist = scored.groupBy(lang_col, "ppl_fp").agg(F.sum("n_chars").alias("chars"))
+    cum = hist.select(
+        lang_col,
+        "ppl_fp",
+        F.sum("chars").over(Window.partitionBy(lang_col).orderBy("ppl_fp")).alias("cum"),
+        F.sum("chars").over(Window.partitionBy(lang_col)).alias("total"),
+    )
+    cuts = cum.groupBy(lang_col).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("total"), F.col("ppl_fp"))).alias(
+            "head_cut"
+        ),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("total"), F.col("ppl_fp"))).alias(
+            "mid_cut"
+        ),
+    )
+    bucket = (
+        F.when(F.col("ppl_fp") <= F.col("head_cut"), F.lit("head"))
+        .when(F.col("ppl_fp") <= F.col("mid_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        id_col, lang_col, "ppl_fp", bucket.alias("bucket")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: str = "source = 'src0'",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 100_000,
+) -> DataFrame:
+    """DSIR-style hashed-feature importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): hash
+    each document's tokens into a small feature space, estimate the
+    target-distribution and raw-distribution feature frequencies, and
+    score every document by how much its features look like the target —
+    the weight that importance-resamples a raw web crawl toward a curated
+    corpus (the paper's Wikipedia+books target is ``target_pred`` here).
+
+    Stand-ins that keep the oracle bit-exact, documented per house rule:
+    the feature hash is the first 2 hex chars of md5 (256 buckets; the
+    paper uses 10k hashed unigrams+bigrams — same dataflow, bigger
+    dimension), and the per-feature weight is the Laplace-smoothed
+    frequency RATIO in integer fixed point ``((pn+1) * scale) div (qn+1)``
+    rather than log-ratio (log's last-ulp varies across engines; monotone
+    in the same direction). A doc's score is the bigint SUM of its
+    features' weights — order-independent, so any partitioning bit-matches.
+
+    Scale shape: one token explode consumed twice (persisted): the feature
+    count aggregate collapses map-side into ≤256 rows per task (both
+    distributions in ONE pass — the target is a conditional sum), and the
+    weight table (256 rows) broadcast-joins back onto the feature stream
+    for the final map-side-combined per-doc rollup. Two corpus shuffles
+    total (feature counts, doc rollup), no skew: every feature bucket is
+    ~1/256 of the token stream.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    feats = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+            F.expr(target_pred).alias("is_tgt"),
+        )
+        .select(
+            F.col(id_col),
+            F.substring(F.md5("tok"), 1, 2).alias("f"),
+            F.col("is_tgt").cast("long").alias("is_tgt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = feats.groupBy("f").agg(
+        F.count("*").alias("qn"), F.sum("is_tgt").alias("pn")
+    )
+    w = counts.select("f", F.expr(f"((pn + 1) * {scale}) div (qn + 1)").alias("w_fp"))
+    return (
+        feats.join(F.broadcast(w), "f")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("w_fp").alias("dsir_score_fp"),
+        )
+    )
+
+
 def host_quality_filter(
     df: DataFrame,
     source_col: str = "source",

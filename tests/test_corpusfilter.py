@@ -320,3 +320,73 @@ def test_host_quality_filter_prunes_whole_domains(spark):
     # fixed-point average: goodhost = (10000+10000+0) div 3 = 6666
     assert kept[4]["host_avg_fp"] == 6666
     assert all(r["n_docs"] == 3 for r in kept.values())
+
+
+def test_ccnet_buckets_cumulative_thirds(spark):
+    """CCNet head/middle/tail: per-language cumulative-char thirds over
+    the ppl proxy, whole score values never split across buckets."""
+    from crawler_spark.textops.corpusfilter import ccnet_buckets
+
+    rows = [
+        # en: ppl_fp 250 (5 chars), 350 (7), 800 (8); total 20
+        #   cum*3: 15, 36, 60 -> head_cut=350, mid_cut=800
+        (1, "en", "aa bb"),
+        (2, "en", "ccc ddd"),
+        (3, "en", "eeeeeeee"),
+        # de: three 10-char docs at ppl_fp 200/500/1000 -> exact thirds,
+        #   one doc per bucket
+        (4, "de", "a b c d ee"),
+        (5, "de", "aaaa bbbbb"),
+        (6, "de", "aaaaaaaaaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(df).collect()}
+
+    assert out[1]["ppl_fp"] == 250 and out[1]["bucket"] == "head"
+    assert out[2]["ppl_fp"] == 350 and out[2]["bucket"] == "head"
+    assert out[3]["ppl_fp"] == 800 and out[3]["bucket"] == "middle"
+    assert [out[i]["bucket"] for i in (4, 5, 6)] == ["head", "middle", "tail"]
+    assert out[4]["ppl_fp"] == 200 and out[6]["ppl_fp"] == 1000
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """DSIR importance scores replay a pure-Python computation of the
+    same hashed-feature Laplace-ratio weights bit-for-bit."""
+    import hashlib
+    from collections import Counter
+
+    from crawler_spark.textops.corpusfilter import dsir_weights
+
+    rows = [
+        (1, "src0", "a b c"),
+        (2, "raw", "a b"),
+        (3, "raw", "c c d e"),
+    ]
+
+    def feat(tok):
+        return hashlib.md5(tok.encode()).hexdigest()[:2]
+
+    qn, pn = Counter(), Counter()
+    for _, src, text in rows:
+        for tok in text.split(" "):
+            qn[feat(tok)] += 1
+            if src == "src0":
+                pn[feat(tok)] += 1
+    w = {f: ((pn[f] + 1) * 100_000) // (qn[f] + 1) for f in qn}
+    expected = {
+        doc_id: (
+            len(text.split(" ")),
+            sum(w[feat(t)] for t in text.split(" ")),
+        )
+        for doc_id, _, text in rows
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in dsir_weights(df).collect()}
+    assert set(out) == {1, 2, 3}
+    for doc_id, (n_feats, score) in expected.items():
+        assert out[doc_id]["n_feats"] == n_feats
+        assert out[doc_id]["dsir_score_fp"] == score
+    # the target doc's own features score at least the smoothed floor of
+    # a pure-raw doc with the same length
+    assert out[1]["dsir_score_fp"] > out[2]["dsir_score_fp"]

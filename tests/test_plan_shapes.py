@@ -145,3 +145,25 @@ def test_host_quality_filter_single_corpus_shuffle(spark, entry_queries):
     plan = _formatted_plan(entry_queries["host_quality_filter"](spark, SF_DIR))
     assert plan.count("hashpartitioning(") <= 2
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ccnet_buckets_no_corpus_sort(spark, entry_queries):
+    """The per-language thirds come from a histogram + broadcast cutoffs —
+    never a rangepartitioned per-language global sort of the corpus (which
+    would put all of 'en' in one partition at 100 TB)."""
+    plan = _formatted_plan(entry_queries["ccnet_buckets"](spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower()
+    # histogram aggregate + the lang window over the (lang, ppl_fp) histogram
+    assert plan.count("hashpartitioning(") <= 2
+    # per-lang cutoffs broadcast back onto the doc stream
+    assert "BroadcastExchange" in plan
+
+
+def test_dsir_weights_broadcast_weight_join(spark, entry_queries):
+    """Feature counts collapse map-side into <=256 rows; the weight table
+    broadcast-joins back; the only corpus shuffles are the counts aggregate
+    and the per-doc rollup."""
+    plan = _formatted_plan(entry_queries["dsir_weights"](spark, SF_DIR))
+    assert plan.count("hashpartitioning(") <= 2
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan.lower()
