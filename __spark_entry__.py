@@ -535,6 +535,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ccnet_buckets(_t(spark, sf, "documents"))
 
+    def semdedup(spark, sf):
+        # SemDeDup: cluster-then-prune — within-cluster cosine pairs only,
+        # never an all-pairs join over the corpus
+        from crawler_spark.textops.similarity import semantic_dedup
+
+        return semantic_dedup(
+            _t(spark, sf, "embeddings"), n_centroids=8, threshold=0.45
+        )
+
     def dsir_w(spark, sf):
         # DSIR importance weights: hashed-feature target/raw frequency
         # ratios (integer fixed point), one conditional-sum pass + a
@@ -598,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_model": lang_id_model,
         "ccnet_buckets": ccnet_b,
         "dsir_weights": dsir_w,
+        "semantic_dedup": semdedup,
     }
 
 
@@ -1500,6 +1510,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.ppl_fp <= c.mid_cut THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored s JOIN cuts c ON s.lang = c.lang
+        """,
+        "semantic_dedup": """
+            WITH c AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+            assign AS (
+              SELECT e.vec_id, e.embedding AS v_vec, c.cent_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.embedding, c.cent_vec), 6) DESC,
+                                c.cent_id ASC) AS r
+              FROM embeddings e CROSS JOIN c),
+            inv AS (SELECT vec_id, v_vec, cent_id FROM assign WHERE r = 1),
+            dups AS (
+              SELECT DISTINCT b.vec_id
+              FROM inv a JOIN inv b
+                ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v_vec, b.v_vec), 4) >= 0.45)
+            SELECT i.vec_id, i.cent_id,
+                   i.vec_id NOT IN (SELECT vec_id FROM dups) AS keep
+            FROM inv i
         """,
         "dsir_weights": """
             WITH feats AS (

@@ -66,6 +66,7 @@ HEADLINE = [
     "lang_id_model",
     "ccnet_buckets",
     "dsir_weights",
+    "semantic_dedup",
 ]
 
 

@@ -271,3 +271,69 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+def semantic_dedup(
+    vectors: DataFrame, n_centroids: int = 8, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, then prune near-duplicate pairs WITHIN each cluster only — the
+    k-means partition bounds the pair search so the corpus never sees an
+    all-pairs join (the paper dedups LAION/C4-scale corpora this way;
+    within a cluster, docs whose pairwise cosine exceeds the threshold
+    collapse to one representative).
+
+    Centroids are the same deterministic id-stratified sample as
+    ``ivf_topk`` (offline-trained k-means in production — the broadcast
+    assignment dataflow is identical either way). Keep rule: the lowest
+    id in each near-dup pair survives (the paper keeps one random/medoid
+    example; lowest-id is the deterministic, oracle-replayable choice).
+
+    Scale shape: assignment is a broadcast join + per-id window (one
+    shuffle on the id); the pair search joins the cluster-keyed table
+    with itself on cent_id — cluster sizes are ~n/k by construction
+    (production picks k ∝ n so clusters stay bounded; salt oversized
+    clusters exactly like the minhash band join if a degenerate embedding
+    collapses the space). Output keeps one row per vector with its
+    cluster and keep flag.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        vectors.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    scored = vectors.join(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col), F.col("cent_id"),
+        F.round(_cosine(vec_col, "cent_vec"), 6).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    # persisted: consumed three times (both pair-join branches + the final
+    # keep-flag join) — without it Spark recomputes the assignment per branch
+    from pyspark.storagelevel import StorageLevel
+
+    inv = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "csim")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = inv.select(F.col("cent_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = inv.select(F.col("cent_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dups = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(_cosine("va", "vb"), 4) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        inv.select(id_col, "cent_id")
+        .join(dups, id_col, "left")
+        .select(
+            id_col, "cent_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

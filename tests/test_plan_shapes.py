@@ -167,3 +167,14 @@ def test_dsir_weights_broadcast_weight_join(spark, entry_queries):
     assert plan.count("hashpartitioning(") <= 2
     assert "BroadcastExchange" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_semantic_dedup_shares_assignment_and_no_global_sort(spark, entry_queries):
+    """The cluster assignment is computed once (persisted — consumed by
+    both pair-join branches and the keep-flag join) and the pair search is
+    cluster-keyed: no cartesian product, no rangepartitioning."""
+    plan = _formatted_plan(entry_queries["semantic_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "InMemoryTableScan" in plan      # shared assignment subtree
+    assert plan.count("hashpartitioning(") <= 5

@@ -448,3 +448,28 @@ def test_duplicated_span_short_doc_whole_text_window(spark):
     out = {r["doc_id"]: r for r in duplicated_span_stats(df, span=8).collect()}
     assert out[1]["dup_ratio"] == out[2]["dup_ratio"] == 1.0
     assert out[3]["dup_ratio"] == 0.0
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    """SemDeDup: near-dups sharing a cluster collapse to the lowest id;
+    an equally-similar pair SPLIT across clusters survives (the paper's
+    deliberate trade — the cluster partition bounds the pair search)."""
+    from crawler_spark.textops.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),      # centroid 1
+        (2, [0.0, 1.0, 0.0]),      # centroid 2
+        (3, [0.999, 0.01, 0.0]),   # cluster 1, cos(1,3)~1.0   -> pruned
+        (4, [0.1, 0.995, 0.0]),    # cluster 2, cos(2,4)~0.995 -> pruned
+        (5, [0.0, 0.0, 1.0]),      # orthogonal, no near pair  -> kept
+        (6, [0.72, 0.69, 0.0]),    # cluster 1 \ cos(6,7)~0.999 but split
+        (7, [0.69, 0.72, 0.0]),    # cluster 2 /  across clusters -> both kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, n_centroids=2, threshold=0.99).collect()}
+
+    assert len(out) == 7           # one row per vector, keep flag not a drop
+    assert {v for v, r in out.items() if not r["keep"]} == {3, 4}
+    assert out[3]["cent_id"] == 1 and out[4]["cent_id"] == 2
+    assert out[6]["cent_id"] == 1 and out[7]["cent_id"] == 2
+    assert out[6]["keep"] and out[7]["keep"]
