@@ -535,6 +535,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ccnet_buckets(_t(spark, sf, "documents"))
 
+    def c4_lines(spark, sf):
+        # C4 line-level cleaning; the corpus is single-line and
+        # punctuation-free, so terminal punctuation is synthesized on odd
+        # ids to exercise both keep and drop (multi-line behavior is
+        # pinned by unit tests)
+        from crawler_spark.textops.corpusfilter import c4_line_filter
+
+        docs = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit("."))
+            ).otherwise(F.col("text")),
+        )
+        return c4_line_filter(docs, min_kept_lines=1)
+
+    def gopher_rules(spark, sf):
+        # full Gopher A1.1 rule set; stopword set adapted to the synthetic
+        # corpus vocabulary (the paper's English set is the default)
+        from crawler_spark.textops.corpusfilter import gopher_quality_rules
+
+        return gopher_quality_rules(
+            _t(spark, sf, "documents"),
+            stopwords=("the", "a", "table", "value", "data", "row", "fast", "slow"),
+        )
+
     def semdedup(spark, sf):
         # SemDeDup: cluster-then-prune — within-cluster cosine pairs only,
         # never an all-pairs join over the corpus
@@ -608,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": ccnet_b,
         "dsir_weights": dsir_w,
         "semantic_dedup": semdedup,
+        "c4_line_filter": c4_lines,
+        "gopher_rules": gopher_rules,
     }
 
 
@@ -1510,6 +1537,71 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.ppl_fp <= c.mid_cut THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored s JOIN cuts c ON s.lang = c.lang
+        """,
+        "c4_line_filter": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 1 THEN text || '.' ELSE text END AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)),
+                       l -> right(l, 1) IN ('.', '!', '?', '"')
+                            AND (CASE WHEN length(l) = 0 THEN 0
+                                      ELSE length(l) - length(replace(l, ' ', '')) + 1
+                                 END) >= 3
+                            AND strpos(lower(l), 'javascript') = 0) AS kept
+              FROM d)
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   (len(kept) >= 1
+                    AND strpos(lower(text), 'lorem ipsum') = 0
+                    AND strpos(text, '{') = 0) AS page_ok
+            FROM s
+        """,
+        "gopher_rules": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+                     END AS n_words,
+                     CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
+                     CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                       AS n_alpha,
+                     CAST((length(text) - length(replace(text, '#', '')))
+                          + ((length(text) - length(replace(text, '…', '')))
+                             + (length(text) - length(replace(text, '...', ''))) / 3)
+                          AS BIGINT) AS n_symbols,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> substr(l, 1, 1) IN ('-', '•', '*'))) AS BIGINT)
+                       AS n_bullet,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> right(l, 1) = '…' OR right(l, 3) = '...'))
+                          AS BIGINT) AS n_ell_lines,
+                     CAST((CASE WHEN strpos(' ' || text || ' ', ' the ') > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN strpos(' ' || text || ' ', ' a ') > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN strpos(' ' || text || ' ', ' table ') > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN strpos(' ' || text || ' ', ' value ') > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN strpos(' ' || text || ' ', ' data ') > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN strpos(' ' || text || ' ', ' row ') > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN strpos(' ' || text || ' ', ' fast ') > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN strpos(' ' || text || ' ', ' slow ') > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_stop
+              FROM documents)
+            SELECT *,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND n_chars_ns >= 3 * n_words AND n_chars_ns <= 10 * n_words
+                    AND n_symbols * 10 <= n_words
+                    AND n_bullet * 10 <= n_lines
+                    AND n_ell_lines * 10 <= 3 * n_lines
+                    AND n_alpha * 100 >= 80 * n_words
+                    AND n_stop >= 2) AS gopher_ok
+            FROM s
         """,
         "semantic_dedup": """
             WITH c AS (SELECT vec_id AS cent_id, embedding AS cent_vec

@@ -67,6 +67,8 @@ HEADLINE = [
     "ccnet_buckets",
     "dsir_weights",
     "semantic_dedup",
+    "c4_line_filter",
+    "gopher_rules",
 ]
 
 

@@ -584,3 +584,139 @@ def host_quality_filter(
         .filter(F.col("host_avg_fp") >= F.lit(thr))
         .select(id_col, source_col, "quality", "host_avg_fp", "n_docs")
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    min_words: int = 3,
+    min_kept_lines: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning…" §2.2 — the rules that turned Common Crawl into
+    C4): keep only lines that end in terminal punctuation AND contain at
+    least ``min_words`` words AND don't mention javascript; drop the whole
+    page if it contains "lorem ipsum" or a curly brace, or fewer than
+    ``min_kept_lines`` lines survive.
+
+    Pure Catalyst higher-order array functions — the line split, per-line
+    predicates, and reassembly all run inside one projection (ZERO
+    shuffles, zero explodes: the kept lines never leave the row). The
+    same lambda pipeline replays in DuckDB via list_filter.
+    """
+    t = F.col(text_col)
+
+    def line_ok(l):
+        last = F.substring(l, -1, 1)
+        words = F.when(
+            F.length(l) == 0, 0
+        ).otherwise(F.length(l) - F.length(F.replace(l, F.lit(" "), F.lit(""))) + 1)
+        return (
+            last.isin(".", "!", "?", '"')
+            & (words >= min_words)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, line_ok)
+    page_clean = ~F.lower(t).contains("lorem ipsum") & ~t.contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        ((F.size(kept) >= min_kept_lines) & page_clean).alias("page_ok"),
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    stopwords: tuple = GOPHER_STOPWORDS,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    appendix A1.1 — the heuristics MassiveWeb was filtered with): word
+    count in [50, 100k]; mean word length in [3, 10]; symbol-to-word
+    ratio (# and …) ≤ 0.1; ≤ 90% of lines may NOT start with a bullet is
+    inverted — ≥ 90% must not; ≤ 30% of lines end with an ellipsis;
+    ≥ 80% of words contain an alphabetic character; and at least 2 of the
+    designated stop words appear (the paper's English set is the default;
+    pass a corpus-appropriate set for other vocabularies).
+
+    Every ratio threshold is an INTEGER cross-multiplication
+    (``n_alpha * 100 >= 80 * n_words`` — never a float division), so the
+    pass flag is bit-exact in any engine and under any row order. One
+    projection, zero shuffles: the line/word arrays live and die inside
+    the row via higher-order functions.
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks)).cast("bigint")
+    n_chars_nospace = (
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("bigint")
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("bigint")
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("bigint")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "•", "*"))
+    ).cast("bigint")
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, -1, 1).isin("…")
+            | (F.substring(l, -3, 3) == "..."),
+        )
+    ).cast("bigint")
+    n_stop = sum(
+        (
+            F.when(
+                F.concat(F.lit(" "), t, F.lit(" ")).contains(f" {w} "), 1
+            ).otherwise(0)
+        )
+        for w in stopwords
+    ).cast("bigint")
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars_nospace.alias("n_chars_ns"),
+        n_alpha.alias("n_alpha"),
+        (n_hash + n_ell).alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet"),
+        n_ell_lines.alias("n_ell_lines"),
+        n_stop.alias("n_stop"),
+    )
+    ok = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        # mean word length in [3, 10]: 3*W <= C <= 10*W
+        & (F.col("n_chars_ns") >= 3 * F.col("n_words"))
+        & (F.col("n_chars_ns") <= 10 * F.col("n_words"))
+        # symbol-to-word ratio <= 0.1
+        & (F.col("n_symbols") * 10 <= F.col("n_words"))
+        # >= 90% of lines don't start with a bullet
+        & (F.col("n_bullet") * 10 <= F.col("n_lines"))
+        # <= 30% of lines end with an ellipsis
+        & (F.col("n_ell_lines") * 10 <= 3 * F.col("n_lines"))
+        # >= 80% of words contain an alphabetic character
+        & (F.col("n_alpha") * 100 >= 80 * F.col("n_words"))
+        # at least 2 of the stop words appear
+        & (F.col("n_stop") >= 2)
+    )
+    return out.withColumn("gopher_ok", ok)

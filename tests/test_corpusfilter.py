@@ -390,3 +390,65 @@ def test_dsir_weights_match_python_reference(spark):
     # the target doc's own features score at least the smoothed floor of
     # a pure-raw doc with the same length
     assert out[1]["dsir_score_fp"] > out[2]["dsir_score_fp"]
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 §2.2 line rules: terminal punctuation, >=3 words, no
+    javascript; page-level lorem-ipsum / brace / min-kept-lines drops."""
+    from crawler_spark.textops.corpusfilter import c4_line_filter
+
+    doc1 = "\n".join(
+        [
+            "This line ends with a period and has many words.",
+            "short one.",                      # < 3 words -> dropped
+            "no terminal punctuation here",    # dropped
+            "Enable javascript to view this page.",  # dropped
+            'He said "stop right there!" and they did?',  # ends '?' -> kept
+        ]
+    )
+    doc2 = "function f() { return 1; }\nA real sentence follows here."  # brace -> page dropped
+    doc3 = "Lorem Ipsum dolor sit amet consectetur."  # lorem ipsum -> page dropped
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(df, min_kept_lines=2).collect()}
+
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"].splitlines() == [
+        "This line ends with a period and has many words.",
+        'He said "stop right there!" and they did?',
+    ]
+    assert out[1]["page_ok"] is True
+    assert out[2]["page_ok"] is False          # brace
+    assert out[3]["page_ok"] is False          # lorem ipsum (and n_kept < 2)
+    assert out[3]["n_kept"] == 1               # the line itself is a valid line
+
+
+def test_gopher_quality_rules_thresholds(spark):
+    """Gopher A1.1: each rule trips independently; thresholds are integer
+    cross-multiplications."""
+    from crawler_spark.textops.corpusfilter import gopher_quality_rules
+
+    good = ("the cat sat on of mat and went to sleep right there " * 5).strip()  # 60 words
+    short = "the of and to brief text here now"                        # 8 words < 50
+    symbols = ("the of " + "# " * 20 + "word " * 40).strip()           # symbol-heavy
+    bullets = "\n".join(["- item one of the list"] * 3 + ["the of plain line"])
+    numeric = "the of " + "123 456 " * 30                              # <80% alpha words
+    rows = [
+        (1, good), (2, short), (3, symbols), (4, bullets), (5, numeric),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_rules(df, min_words=50).collect()}
+
+    assert out[1]["gopher_ok"] is True
+    assert out[1]["n_stop"] >= 2 and out[1]["n_words"] == 60
+    assert out[2]["gopher_ok"] is False and out[2]["n_words"] == 8
+    r3 = out[3]
+    assert r3["n_symbols"] == 20 and r3["n_symbols"] * 10 > r3["n_words"]
+    assert r3["gopher_ok"] is False
+    r4 = out[4]
+    assert r4["n_lines"] == 4 and r4["n_bullet"] == 3
+    assert r4["gopher_ok"] is False            # 3/4 bullet lines > 10%
+    r5 = out[5]
+    assert r5["n_alpha"] * 100 < 80 * r5["n_words"]
+    assert r5["gopher_ok"] is False

@@ -178,3 +178,13 @@ def test_semantic_dedup_shares_assignment_and_no_global_sort(spark, entry_querie
     assert "rangepartitioning" not in plan.lower()
     assert "InMemoryTableScan" in plan      # shared assignment subtree
     assert plan.count("hashpartitioning(") <= 5
+
+
+def test_c4_and_gopher_are_shuffle_free(spark, entry_queries):
+    """Both cleaning rule sets run as single projections — the line/word
+    arrays live and die inside the row (higher-order functions, no
+    explode, no Exchange anywhere)."""
+    for name in ("c4_line_filter", "gopher_rules"):
+        plan = _formatted_plan(entry_queries[name](spark, SF_DIR))
+        assert "Exchange" not in plan, name
+        assert "Generate" not in plan, name  # no explode
