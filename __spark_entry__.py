@@ -577,6 +577,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dsir_weights(_t(spark, sf, "documents"))
 
+    def _synth_urls(spark, sf):
+        # deterministic URL column over documents (no url col in testdata):
+        # even doc_ids get an uppercase WWW. host to exercise normalization
+        docs = _t(spark, sf, "documents")
+        host = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("WWW."), F.upper(F.col("source"))),
+        ).otherwise(F.col("source"))
+        return docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), host, F.lit(".example/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+
+    def url_blocklist(spark, sf):
+        # UT1-style domain-blocklist prune: registrable-host anti-join
+        from crawler_spark.textops.urlfilter import apply_domain_blocklist
+
+        urls = _synth_urls(spark, sf)
+        bl = (
+            _t(spark, sf, "documents")
+            .filter(F.substring("source", 4, 10).cast("int") % 3 == 0)
+            .select(F.concat(F.col("source"), F.lit(".example")).alias("host"))
+        )
+        return apply_domain_blocklist(urls, bl)
+
+    def url_score(spark, sf):
+        # RefinedWeb soft word score: weighted substring occurrences,
+        # one codegen projection (replace-length arithmetic)
+        from crawler_spark.textops.urlfilter import url_word_score
+
+        return url_word_score(
+            _synth_urls(spark, sf),
+            {"src1": 4, "3": 1, "doc": 2},
+            threshold=7,
+        )
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -635,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": semdedup,
         "c4_line_filter": c4_lines,
         "gopher_rules": gopher_rules,
+        "url_blocklist": url_blocklist,
+        "url_word_score": url_score,
     }
 
 
@@ -1636,5 +1677,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w.w_fp) AS BIGINT) AS dsir_score_fp
             FROM feats JOIN w ON feats.f = w.f
             GROUP BY feats.doc_id
+        """,
+        "url_blocklist": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://' ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'WWW.' || upper(source) ELSE source END ||
+                     '.example/doc/' || doc_id AS url
+              FROM documents),
+            bl AS (
+              SELECT DISTINCT source || '.example' AS host
+              FROM documents WHERE CAST(substr(source, 4) AS INT) % 3 = 0)
+            SELECT doc_id, url FROM urls
+            WHERE regexp_replace(lower(split_part(url, '/', 3)), '^www\\.', '')
+                  NOT IN (SELECT host FROM bl)
+        """,
+        "url_word_score": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://' ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'WWW.' || upper(source) ELSE source END ||
+                     '.example/doc/' || doc_id AS url
+              FROM documents)
+            SELECT doc_id, url,
+                   CAST(1 * (length(lower(url)) - length(replace(lower(url), '3', ''))) / 1 AS BIGINT)
+                 + CAST(2 * (length(lower(url)) - length(replace(lower(url), 'doc', ''))) / 3 AS BIGINT)
+                 + CAST(4 * (length(lower(url)) - length(replace(lower(url), 'src1', ''))) / 4 AS BIGINT)
+                   AS url_score,
+                   (CAST(1 * (length(lower(url)) - length(replace(lower(url), '3', ''))) / 1 AS BIGINT)
+                  + CAST(2 * (length(lower(url)) - length(replace(lower(url), 'doc', ''))) / 3 AS BIGINT)
+                  + CAST(4 * (length(lower(url)) - length(replace(lower(url), 'src1', ''))) / 4 AS BIGINT)) >= 7
+                   AS url_banned
+            FROM urls
         """,
     }

@@ -303,31 +303,43 @@ def dup_clusters(
             out = out.unionByName(m.select("u", F.col("m").alias("v")))
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    e = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        # the candidate-pair plan (often an LSH join) is consumed several
-        # times by round 1's star passes — materialize it once up front
-        .localCheckpoint(eager=True)
-    )
-    prev_sig = None
-    for _ in range(max_iters):
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        ls = _min_star(sym, keep_larger=True)
-        ls_sym = ls.unionByName(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        e = _min_star(ls_sym, keep_larger=False)
-        e = e.localCheckpoint(eager=True)
-        # edge-set signature: count + xor of per-edge hashes (the edge set
-        # is distinct, so xor is an exact order-independent set fingerprint
-        # — and unlike sum it cannot overflow under ANSI mode)
-        sig = e.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).first()
-        if prev_sig == (sig["n"], sig["h"]):
-            break
-        prev_sig = (sig["n"], sig["h"])
+    # constraint propagation trips a Catalyst bug on this loop's
+    # self-union-of-renamed-columns shape (UnionBase.rewriteConstraints:
+    # "key not found: u#N") with some upstream plans; the star passes are
+    # distinct/groupBy/join plans that gain nothing from inferred
+    # constraints, so turn it off for the loop and restore after
+    spark = pairs.sparkSession
+    _cp_key = "spark.sql.constraintPropagation.enabled"
+    _cp_old = spark.conf.get(_cp_key, "true")
+    spark.conf.set(_cp_key, "false")
+    try:
+        e = (
+            pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            # the candidate-pair plan (often an LSH join) is consumed several
+            # times by round 1's star passes — materialize it once up front
+            .localCheckpoint(eager=True)
+        )
+        prev_sig = None
+        for _ in range(max_iters):
+            sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            ls = _min_star(sym, keep_larger=True)
+            ls_sym = ls.unionByName(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            e = _min_star(ls_sym, keep_larger=False)
+            e = e.localCheckpoint(eager=True)
+            # edge-set signature: count + xor of per-edge hashes (the edge set
+            # is distinct, so xor is an exact order-independent set fingerprint
+            # — and unlike sum it cannot overflow under ANSI mode)
+            sig = e.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).first()
+            if prev_sig == (sig["n"], sig["h"]):
+                break
+            prev_sig = (sig["n"], sig["h"])
+    finally:
+        spark.conf.set(_cp_key, _cp_old)
     # converged: every edge is (node → component min); add the roots
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))

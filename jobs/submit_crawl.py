@@ -60,6 +60,12 @@ def main(argv=None):
     ap.add_argument("--no-lineage", action="store_true")
     ap.add_argument("--warc-export", default=None, metavar="DIR",
                     help="archive every fetched page as WARC under DIR/wave=N/")
+    ap.add_argument("--es-export", default=None, metavar="DIR",
+                    help="after the crawl, write the docs as Elasticsearch "
+                         "_bulk request files under DIR (the offline "
+                         "output_sink: elasticsearch; replay with curl)")
+    ap.add_argument("--es-index", default=None,
+                    help="target index for --es-export (or config output_index)")
     ap.add_argument("--reuse-unchanged", action="store_true",
                     help="recrawl/purge: skip re-parsing pages whose corpus "
                          "warc_ts is unchanged (the offline 304)")
@@ -74,6 +80,7 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName("crawler-spark-crawl").getOrCreate()
 
+    _extras: dict = {}
     if args.config:
         from dataclasses import replace
 
@@ -128,6 +135,20 @@ def main(argv=None):
             kwargs["reuse_unchanged_pages"] = True
         config = CrawlConfig(**kwargs)
 
+    # output_sink: elasticsearch (offline) — resolve the export target up
+    # front so a missing index fails before any crawl work (the reference
+    # raises "Missing output index" at sink construction, elasticsearch.rb:29)
+    es_dir = args.es_export
+    es_index = args.es_index or _extras.get("output_index")
+    es_cfg = _extras.get("elasticsearch") or {}
+    if es_dir is None and _extras.get("output_sink") == "elasticsearch":
+        import os
+
+        es_dir = os.path.join(args.state, "es_bulk")
+    if es_dir and not es_index:
+        ap.error("--es-index (or config output_index) is required for the "
+                 "elasticsearch output sink")
+
     pages = spark.read.parquet(args.pages) if args.pages else None
     crawler = SparkCrawler(
         spark, config, pages, args.state,
@@ -136,13 +157,36 @@ def main(argv=None):
     res = crawler.run()
     if args.compact:
         crawler.compact_state()
+    es_stats = None
+    if es_dir:
+        from crawler_spark.sources.es_bulk import (
+            DEFAULT_MAX_ITEMS,
+            DEFAULT_MAX_SIZE_BYTES,
+            DEFAULT_PIPELINE,
+            export_es_bulk,
+        )
+
+        bulk_api = es_cfg.get("bulk_api") or {}
+        es_stats = export_es_bulk(
+            res.docs, es_dir, es_index,
+            pipeline_enabled=bool(es_cfg.get("pipeline_enabled", True)),
+            pipeline=es_cfg.get("pipeline", DEFAULT_PIPELINE),
+            pipeline_params=es_cfg.get("pipeline_params"),
+            max_items=int(bulk_api.get("max_items", DEFAULT_MAX_ITEMS)),
+            max_size_bytes=int(
+                bulk_api.get("max_size_bytes", DEFAULT_MAX_SIZE_BYTES)
+            ),
+        )
     manifest = res.store.read_manifest()
-    print(json.dumps({
+    out = {
         "waves": manifest["wave"],
         "seen_count": manifest["seen_count"],
         "elapsed_s": round(res.elapsed_s, 2),
         "state": args.state,
-    }))
+    }
+    if es_stats is not None:
+        out["ingestion_stats"] = es_stats
+    print(json.dumps(out))
     spark.stop()
     return 0
 
