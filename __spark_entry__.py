@@ -616,6 +616,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=7,
         )
 
+    def line_dedup_q(spark, sf):
+        # corpus-wide boilerplate-line removal (CCNet/RefinedWeb line
+        # dedup): a synthetic footer line is injected on every third doc
+        # so the corpus frequency gate has something real to strip
+        from crawler_spark.textops.corpusfilter import line_dedup
+
+        docs = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit("\nsubscribe to our newsletter")),
+            ).otherwise(F.col("text")),
+        )
+        return line_dedup(docs, max_freq=2)
+
+    def incr_dedup(spark, sf):
+        # cross-snapshot near-dup gate: new batch (doc_id % 7 == 3) probed
+        # against the rest of the corpus's LSH band keys
+        from crawler_spark.textops.dedup import incremental_dedup
+
+        docs = _t(spark, sf, "documents")
+        return incremental_dedup(
+            docs.filter(F.col("doc_id") % 7 == 3),
+            docs.filter(F.col("doc_id") % 7 != 3),
+        )
+
+    def surt_idx(spark, sf):
+        # CDX archive index: SURT key + capture ts + content digest over a
+        # synthesized URL column (ports / querystrings / bare-host URLs
+        # exercise every branch of the transform)
+        from crawler_spark.sources.cdx import cdx_index
+
+        docs = _t(spark, sf, "documents")
+        host = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("WWW."), F.upper(F.col("source"))),
+        ).otherwise(F.col("source"))
+        port = F.when(F.col("doc_id") % 5 == 0, F.lit(":8080")).otherwise(F.lit(""))
+        tail = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"), F.lit("?q=1")),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.lit(""))
+            .otherwise(F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")))
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://"), host, F.lit(".example"), port, tail).alias("url"),
+            (F.lit(20260101000000) + F.col("doc_id")).alias("warc_ts"),
+            "text",
+        )
+        return cdx_index(pages)
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -676,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": gopher_rules,
         "url_blocklist": url_blocklist,
         "url_word_score": url_score,
+        "line_dedup": line_dedup_q,
+        "incremental_dedup": incr_dedup,
+        "surt_index": surt_idx,
     }
 
 
@@ -1711,5 +1767,86 @@ def oracle_sql() -> dict[str, str]:
                   + CAST(4 * (length(lower(url)) - length(replace(lower(url), 'src1', ''))) / 4 AS BIGINT)) >= 7
                    AS url_banned
             FROM urls
+        """,
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || chr(10) || 'subscribe to our newsletter'
+                          ELSE text END AS text
+              FROM documents),
+            l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+            occ AS (
+              SELECT doc_id, i AS pos, lines[i] AS line
+              FROM l, UNNEST(range(1, len(lines) + 1)) AS t(i)),
+            freq AS (SELECT line, count(*) AS c FROM occ GROUP BY line),
+            kept AS (
+              SELECT o.doc_id, o.pos, o.line
+              FROM occ o JOIN freq f ON o.line = f.line WHERE f.c <= 2),
+            roll AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   len(string_split(d.text, chr(10))) AS n_lines,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM d LEFT JOIN roll r ON d.doc_id = r.doc_id
+        """,
+        "incremental_dedup": f"""
+            WITH {_MINHASH_CTES},
+            newb AS (SELECT * FROM bands WHERE doc_id % 7 = 3),
+            idxb AS (
+              SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 7 <> 3),
+            hits AS (
+              SELECT DISTINCT n.doc_id
+              FROM newb n JOIN idxb i
+                ON n.band = i.band AND n.band_key = i.band_key)
+            SELECT d.doc_id, (h.doc_id IS NULL) AS novel
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 7 = 3
+        """,
+        "surt_index": """
+            WITH p AS (
+              SELECT text,
+                     'https://' ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'WWW.' || upper(source) ELSE source END ||
+                     '.example' ||
+                     CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+                     CASE WHEN doc_id % 4 = 0 THEN '/doc/' || doc_id || '?q=1'
+                          WHEN doc_id % 4 = 1 THEN ''
+                          ELSE '/doc/' || doc_id END AS url,
+                     20260101000000 + doc_id AS ts
+              FROM documents),
+            c AS (
+              SELECT *,
+                     lower(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''))
+                       AS rest
+              FROM p),
+            h AS (
+              SELECT *,
+                     CASE WHEN strpos(rest, '/') > 0
+                          THEN substr(rest, 1, strpos(rest, '/') - 1)
+                          ELSE rest END AS hostport,
+                     CASE WHEN strpos(rest, '/') > 0
+                          THEN substr(rest, strpos(rest, '/'))
+                          ELSE '/' END AS path
+              FROM c),
+            hp AS (
+              SELECT *,
+                     CASE WHEN strpos(hostport, ':') > 0
+                          THEN substr(hostport, 1, strpos(hostport, ':') - 1)
+                          ELSE hostport END AS host,
+                     CASE WHEN strpos(hostport, ':') > 0
+                          THEN substr(hostport, strpos(hostport, ':'))
+                          ELSE '' END AS port
+              FROM h)
+            SELECT array_to_string(
+                     list_reverse(
+                       string_split(regexp_replace(host, '^www\\.', ''), '.')),
+                     ',') || port || ')' || path AS surt,
+                   url, ts, md5(coalesce(text, '')) AS digest
+            FROM hp
         """,
     }

@@ -69,6 +69,9 @@ HEADLINE = [
     "semantic_dedup",
     "c4_line_filter",
     "gopher_rules",
+    "line_dedup",
+    "incremental_dedup",
+    "surt_index",
 ]
 
 

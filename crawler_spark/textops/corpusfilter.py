@@ -720,3 +720,59 @@ def gopher_quality_rules(
         & (F.col("n_stop") >= 2)
     )
     return out.withColumn("gopher_ok", ok)
+
+
+def line_dedup(
+    df: DataFrame,
+    max_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CORPUS-WIDE line-level dedup (CCNet §3.1 / RefinedWeb line-wise
+    filtering): drop every line whose exact text occurs more than
+    ``max_freq`` times across the whole corpus — the pass that strips
+    navigation bars, cookie banners, and footer boilerplate that repeat
+    on every page of a site. Complements :func:`c4_line_filter` (per-page
+    line rules, no corpus context) and ``dedup.chunk_dedup`` (keep-first
+    paragraph dedup): here a line above the frequency cap is removed from
+    ALL documents, which is what boilerplate removal wants.
+
+    Returns one row per input doc:
+    ``(id, n_lines, n_kept, clean_text)`` with surviving lines rejoined
+    in their original order (empty string when nothing survives).
+
+    Scale shape (the 100 TB pass): posexplode → line-frequency agg
+    (map-side combined; the shuffle is the distinct-line table, Zipf-small
+    vs the line stream) → join-back on the line hash (md5 — uniform, AQE
+    splits residual boilerplate skew) → per-doc rollup co-partitioned on
+    the id. The reassembly sorts only within a doc (array_sort of the
+    collected (pos, line) structs) — never a global sort.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    lines = F.split(F.col(text_col), "\n")
+    occ = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).withColumn("lh", F.md5(F.col("line"))).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = occ.groupBy("lh").agg(F.count("*").alias("c"))
+    kept = occ.join(freq, "lh").filter(F.col("c") <= max_freq)
+    roll = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col), F.size(lines).cast("bigint").alias("n_lines"))
+        .join(roll, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -65,6 +65,85 @@ def minhash_signatures(
     )
 
 
+def _band_keys(
+    df: DataFrame, n_hashes: int = 16, bands: int = 4, gram: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) LSH band keys via the fused derivation: the
+    signatures are n_hashes min-aggregates over the SAME gram rows, so
+    compute them as n_hashes agg columns of ONE groupBy(doc) — no seed
+    cross-join row blowup, no second (doc,seed)-shuffled aggregation, and
+    no collect_list+sort (seed order is static, so the band key is a plain
+    column concat). Values are identical to minhash_signatures' (same
+    md5(seed:gram) family); the oracle and the standalone signatures query
+    pin that equality."""
+    rows_per_band = n_hashes // bands
+    grams = df.select(F.col(id_col), F.explode(_grams_col(text_col, gram)).alias("g"))
+    sigs_wide = grams.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"s{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"s{b * rows_per_band + i}") for i in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs_wide.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band", "bk.band_key"
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    gram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-SNAPSHOT near-dup gate — the op every recurring crawl runs
+    before ingesting a new batch: flag each NEW document as ``novel``
+    unless it shares a MinHash-LSH band bucket with the EXISTING corpus.
+    Unlike :func:`minhash_lsh_pairs` (within-corpus pairs) this never
+    compares new docs against each other and never re-fingerprints the
+    old corpus per pair — the index side is just its distinct band keys.
+
+    Returns one row per new doc: ``(id, novel boolean)``.
+
+    Scale shape: in production the index's (band, band_key) table is
+    computed once per snapshot and stored (MERGE-appended as snapshots
+    accrue), so an incremental run fingerprints only the new batch; the
+    membership probe is a LEFT SEMI join on (band, band_key) — new-batch
+    sized, broadcast when the new batch is small, shuffled-hash on the
+    uniformly-distributed md5 keys otherwise (AQE picks). No window, no
+    self-join, no quadratic term anywhere.
+    """
+    new_keys = _band_keys(new_df, n_hashes, bands, gram, text_col, id_col)
+    idx_keys = _band_keys(index_df, n_hashes, bands, gram, text_col, id_col).select(
+        "band", "band_key"
+    ).distinct()
+    hits = (
+        new_keys.join(idx_keys, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        new_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(F.col(id_col), F.coalesce(~F.col("_hit"), F.lit(True)).alias("novel"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, n_hashes: int = 16, bands: int = 4, gram: int = 3,
     text_col: str = "text", id_col: str = "doc_id", max_bucket: int = 64,
@@ -87,35 +166,7 @@ def minhash_lsh_pairs(
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
-    rows_per_band = n_hashes // bands
-    # fused band-key derivation: the signatures are 16 min-aggregates over
-    # the SAME gram rows, so compute them as 16 agg columns of ONE
-    # groupBy(doc) — no 16× seed cross-join row blowup, no second
-    # (doc,seed)-shuffled aggregation, and no collect_list+sort (seed
-    # order is static, so the band key is a plain column concat). Values
-    # are identical to minhash_signatures' (same md5(seed:gram) family);
-    # the oracle and the standalone signatures query pin that equality.
-    grams = df.select(F.col(id_col), F.explode(_grams_col(text_col, gram)).alias("g"))
-    sigs_wide = grams.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"s{s}")
-            for s in range(n_hashes)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"s{b * rows_per_band + i}") for i in range(rows_per_band)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    bandkeys = sigs_wide.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, "bk.band", "bk.band_key"
-    )
+    bandkeys = _band_keys(df, n_hashes, bands, gram, text_col, id_col)
     w = Window.partitionBy("band", "band_key")
     # materialize the signature chain ONCE: the bucket-size window and BOTH
     # sides of the band self-join consume `sized`, and their differently-

@@ -452,3 +452,33 @@ def test_gopher_quality_rules_thresholds(spark):
     r5 = out[5]
     assert r5["n_alpha"] * 100 < 80 * r5["n_words"]
     assert r5["gopher_ok"] is False
+
+
+def test_line_dedup_strips_corpus_boilerplate(spark):
+    from crawler_spark.textops.corpusfilter import line_dedup
+
+    footer = "subscribe to our newsletter"
+    df = _docs(
+        spark,
+        [
+            (1, f"alpha one\n{footer}\nbeta two"),
+            (2, f"gamma three\n{footer}"),
+            (3, f"{footer}\ndelta four"),
+            (4, "unique page"),
+            (5, ""),  # single empty line; empty string occurs once -> kept
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, max_freq=2).collect()}
+
+    assert out[1]["n_lines"] == 3
+    assert out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "alpha one\nbeta two"
+    # order preserved regardless of where the boilerplate sat
+    assert out[3]["clean_text"] == "delta four"
+    assert out[4]["clean_text"] == "unique page"
+    assert out[5]["n_lines"] == 1 and out[5]["n_kept"] == 1
+    # every doc present even when all lines are boilerplate
+    df_all = _docs(spark, [(1, "x"), (2, "x"), (3, "x"), (4, "x")])
+    gone = {r["doc_id"]: r for r in line_dedup(df_all, max_freq=2).collect()}
+    assert gone[1]["n_kept"] == 0 and gone[1]["clean_text"] == ""
+    assert len(gone) == 4

@@ -473,3 +473,26 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     assert out[3]["cent_id"] == 1 and out[4]["cent_id"] == 2
     assert out[6]["cent_id"] == 1 and out[7]["cent_id"] == 2
     assert out[6]["keep"] and out[7]["keep"]
+
+
+def test_incremental_dedup_flags_cross_snapshot_near_dups(spark):
+    from crawler_spark.textops.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    index = spark.createDataFrame(
+        [(1, base), (2, "completely different indexed content about spark engines")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),  # exact dup of indexed doc 1
+            (101, base + " again"),  # near dup: shares most shingles
+            (102, "entirely novel text about distributed archive formats and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["novel"] for r in incremental_dedup(new, index).collect()}
+    assert out[100] is False
+    assert out[101] is False
+    assert out[102] is True
+    assert set(out) == {100, 101, 102}  # index docs never appear
