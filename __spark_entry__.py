@@ -669,6 +669,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cdx_index(pages)
 
+    def kmeans_q(spark, sf):
+        # distributed Lloyd k-means (integer fixed point): the offline
+        # centroid trainer behind semantic_dedup / ivf_topk
+        from crawler_spark.textops.similarity import kmeans_lloyd
+
+        return kmeans_lloyd(_t(spark, sf, "embeddings"), k=4, iters=2)
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -732,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": line_dedup_q,
         "incremental_dedup": incr_dedup,
         "surt_index": surt_idx,
+        "kmeans_clusters": kmeans_q,
     }
 
 
@@ -762,6 +770,48 @@ _STOP = f"({_occ('text', 'the')} + {_occ('text', 'a')} + {_occ('text', 'and')})"
 
 # BM25 demo query terms — mid-frequency words of the synthetic corpus
 _BM25_TERMS = ["spark", "vector", "merge"]
+
+def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1000, offset: int = 2) -> str:
+    """Unrolled-iteration SQL replay of textops.similarity.kmeans_lloyd.
+    Positive fixed-point domain (offset) makes DuckDB's // (floor) equal
+    Spark's div (truncate); all sums/means are integer-exact."""
+    dist = (
+        "list_sum(list_transform(range(1, len(q.v) + 1), "
+        "j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j])))"
+    )
+    ctes = [
+        f"""qv AS (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(floor((CAST(x AS DOUBLE) + {offset}) * {scale}) AS BIGINT)) AS v
+              FROM embeddings)""",
+        f"""c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM (SELECT * FROM qv ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(1, iters + 2):
+        ctes.append(f"""a{i} AS (
+              SELECT vec_id, cid, dist FROM (
+                SELECT q.vec_id, c.cid, {dist} AS dist,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {dist}, c.cid) AS rn
+                FROM qv q CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        if i <= iters:
+            ctes.append(f"""m{i} AS (
+              SELECT a.cid, t.dim, sum(q.v[t.dim]) // count(*) AS m
+              FROM a{i} a JOIN qv q USING (vec_id),
+                   UNNEST(range(1, len(q.v) + 1)) AS t(dim)
+              GROUP BY a.cid, t.dim)""")
+            ctes.append(f"""c{i} AS (
+              SELECT p.cid, coalesce(lm.v, p.v) AS v
+              FROM c{i - 1} p LEFT JOIN (
+                SELECT cid, list(m ORDER BY dim) AS v FROM m{i} GROUP BY cid) lm
+                USING (cid))""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cid AS cluster, dist FROM a{iters + 1}"
+    )
+
 
 # shared minhash CTE chain (signatures → band keys → bucket-capped pairs);
 # the 64-doc bucket cap mirrors crawler_spark.textops.dedup.minhash_lsh_pairs:
@@ -1849,4 +1899,5 @@ def oracle_sql() -> dict[str, str]:
                    url, ts, md5(coalesce(text, '')) AS digest
             FROM hp
         """,
+        "kmeans_clusters": _kmeans_sql(k=4, iters=2),
     }

@@ -72,6 +72,7 @@ HEADLINE = [
     "line_dedup",
     "incremental_dedup",
     "surt_index",
+    "kmeans_clusters",
 ]
 
 

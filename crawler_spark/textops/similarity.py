@@ -337,3 +337,84 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the offline
+    centroid-training step that :func:`semantic_dedup` and :func:`ivf_topk`
+    assume exists ("production trains centroids offline"); this is that
+    trainer, as pure DataFrame jobs.
+
+    Everything runs in INTEGER FIXED POINT so a distributed run is
+    bit-identical under any partitioning AND replayable by an ANSI-SQL
+    oracle: vectors quantize to ``floor((x + offset) * scale)`` bigints
+    (``offset`` shifts the domain positive, so integer division has no
+    floor-vs-truncate ambiguity between engines; squared-L2 is shift-
+    invariant, so assignments are unaffected), distances are exact bigint
+    sums, and the centroid update is the per-dimension integer mean
+    (``sum div count`` — order-independent, unlike float summation).
+
+    Init: the ``k`` lowest-id vectors (deterministic; k-means|| at scale —
+    the per-iteration dataflow is identical). Each iteration broadcasts
+    the k centroids as literals (argmin = array_min over k struct columns
+    inside codegen — no join, no shuffle for assignment), then computes
+    new centroids with ONE groupBy(cluster, dim) shuffle of k·dims tiny
+    rows; only k·dims values ever reach the driver. Empty clusters keep
+    their previous centroid. Returns the final assignment
+    ``(id, cluster, dist)`` against the post-update centroids.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    qv = vectors.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"cast(floor((cast(x as double) + {offset}) * {scale}) as bigint))"
+        ).alias("qv"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dims = len(qv.first()["qv"])
+    cents = [list(r["qv"]) for r in qv.orderBy(F.col(id_col).asc()).limit(k).collect()]
+
+    def _assign(df):
+        structs = []
+        for ci, c in enumerate(cents):
+            arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+            dist = F.aggregate(
+                F.zip_with(F.col("qv"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            )
+            structs.append(
+                F.struct(dist.alias("dist"), F.lit(ci).cast("int").alias("cluster"))
+            )
+        best = F.array_min(F.array(*structs))
+        return df.select(
+            F.col(id_col), F.col("qv"),
+            best["cluster"].alias("cluster"), best["dist"].alias("dist"),
+        )
+
+    for _ in range(iters):
+        means = (
+            _assign(qv)
+            .select("cluster", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("m"))
+            .collect()
+        )
+        by_c: dict = {}
+        for r in means:
+            by_c.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        cents = [
+            [by_c[ci][d] for d in range(dims)] if ci in by_c else cents[ci]
+            for ci in range(k)
+        ]
+    out = _assign(qv).select(id_col, "cluster", "dist")
+    return out

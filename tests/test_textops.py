@@ -496,3 +496,26 @@ def test_incremental_dedup_flags_cross_snapshot_near_dups(spark):
     assert out[101] is False
     assert out[102] is True
     assert set(out) == {100, 101, 102}  # index docs never appear
+
+
+def test_kmeans_lloyd_separates_blobs_and_is_partitioning_invariant(spark):
+    from crawler_spark.textops.similarity import kmeans_lloyd
+
+    # two tight 4-d blobs around +0.4 and -0.4; k=2 must split them
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [0.4 + eps, 0.4, 0.4 - eps, 0.4]))
+        rows.append((100 + i, [-0.4 - eps, -0.4, -0.4 + eps, -0.4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, iters=2).collect()}
+    pos = {out[i] for i in range(20)}
+    neg = {out[100 + i] for i in range(20)}
+    assert len(pos) == 1 and len(neg) == 1 and pos != neg
+
+    # integer fixed point: identical assignment under any partitioning
+    out2 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(df.repartition(7), k=2, iters=2).collect()
+    }
+    assert out == out2
