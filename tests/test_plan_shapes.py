@@ -188,3 +188,39 @@ def test_c4_and_gopher_are_shuffle_free(spark, entry_queries):
         plan = _formatted_plan(entry_queries[name](spark, SF_DIR))
         assert "Exchange" not in plan, name
         assert "Generate" not in plan, name  # no explode
+
+
+def test_surt_index_is_shuffle_free(spark, entry_queries):
+    """The SURT/CDX key is pure string codegen over the scan — no
+    Exchange, no explode, no Python."""
+    plan = _formatted_plan(entry_queries["surt_index"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_dedup_no_global_sort_and_shared_explode(spark, entry_queries):
+    """Line reassembly sorts inside the doc row (array_sort), never via a
+    rangepartitioning; the line-occurrence explode is persisted — both the
+    frequency agg and the join-back read the cache."""
+    plan = _formatted_plan(entry_queries["line_dedup"](spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower()
+    assert "InMemoryTableScan" in plan
+
+
+def test_incremental_dedup_semi_probe_no_self_pairs(spark, entry_queries):
+    """The cross-snapshot probe is a LEFT SEMI membership join on band
+    keys — no pair self-join of the new batch, no cartesian, no sort."""
+    plan = _formatted_plan(entry_queries["incremental_dedup"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, entry_queries):
+    """Centroids are broadcast as literals, so the returned assignment is
+    a pure projection over the cached quantized vectors: zero Exchanges,
+    zero joins (the update shuffles happened inside the training loop)."""
+    plan = _formatted_plan(entry_queries["kmeans_clusters"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "InMemoryTableScan" in plan
