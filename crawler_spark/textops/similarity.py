@@ -178,6 +178,7 @@ def cosine_dup_pairs_lsh(
 def ivf_topk(
     vectors: DataFrame, queries: DataFrame, n_centroids: int = 8, n_probe: int = 2,
     k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition vectors by nearest centroid, probe only the
     query's ``n_probe`` nearest inverted lists.
@@ -190,8 +191,9 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    # deterministic centroid sample: first n_centroids vectors by id
-    cents = (
+    # trained centroids when provided (kmeans_centroids), else the
+    # deterministic id-stratified sample: first n_centroids vectors by id
+    cents = centroids if centroids is not None else (
         vectors.orderBy(F.col(id_col).asc()).limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
@@ -275,6 +277,7 @@ def lsh_topk(
 def semantic_dedup(
     vectors: DataFrame, n_centroids: int = 8, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
@@ -300,7 +303,7 @@ def semantic_dedup(
     """
     from pyspark.sql import Window
 
-    cents = (
+    cents = centroids if centroids is not None else (
         vectors.orderBy(F.col(id_col).asc()).limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
@@ -417,4 +420,30 @@ def kmeans_lloyd(
             for ci in range(k)
         ]
     out = _assign(qv).select(id_col, "cluster", "dist")
+    # stash the trained centroids (de-quantized) on the result so callers
+    # can feed them to semantic_dedup / ivf_topk without retraining
+    out._kmeans_centroids = [  # type: ignore[attr-defined]
+        [v / scale - offset for v in c] for c in cents
+    ]
     return out
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train with :func:`kmeans_lloyd` and return the centroids as a
+    ``(cent_id, cent_vec)`` dimension frame — the shape
+    :func:`semantic_dedup` and :func:`ivf_topk` accept via their
+    ``centroids`` parameter (k rows; always broadcast downstream)."""
+    assigned = kmeans_lloyd(vectors, k, iters, scale, offset, id_col, vec_col)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(assigned._kmeans_centroids)],
+        f"cent_id int, cent_vec array<double>",
+    )

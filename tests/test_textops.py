@@ -519,3 +519,21 @@ def test_kmeans_lloyd_separates_blobs_and_is_partitioning_invariant(spark):
         for r in kmeans_lloyd(df.repartition(7), k=2, iters=2).collect()
     }
     assert out == out2
+
+
+def test_semantic_dedup_with_trained_kmeans_centroids(spark):
+    from crawler_spark.textops.similarity import kmeans_centroids, semantic_dedup
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [0.4, 0.4, 0.4, 0.4]))          # one tight dup blob
+        rows.append((100 + i, [-0.4 + i * 0.05, 0.3, -0.2, 0.1]))  # spread
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(df, k=2, iters=2)
+    assert cents.count() == 2 and cents.columns == ["cent_id", "cent_vec"]
+    out = semantic_dedup(df, threshold=0.999, centroids=cents)
+    kept = {r["vec_id"]: r["keep"] for r in out.collect()}
+    # identical blob collapses to its lowest id under the trained partition
+    assert kept[0] is True
+    assert all(kept[i] is False for i in range(1, 10))
+    assert len(kept) == 20
