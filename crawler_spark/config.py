@@ -145,6 +145,15 @@ class CrawlConfig:
     # driver-collected broadcast dict to a distributed DataFrame dimension
     # joined by host_key (the 10^8-host path; set 0 to force it)
     robots_dimension_threshold: int = 100_000
+    # explicit partitioned Bloom sidecar over the seen set (state/bloom.py):
+    # candidates the filter proves unseen bypass the exact anti-join
+    # (filter-then-verify — false positives re-probe, false negatives are
+    # impossible because every wave's delta lands before the next probe).
+    # Off by default: at test scale the two extra tiny jobs/wave cost more
+    # than the pruned probe saves; at 10^10 seen URLs the trade inverts.
+    seen_bloom_enabled: bool = False
+    seen_bloom_buckets: int = 64
+    seen_bloom_bits: int = 1 << 20
 
     def normalized_seeds(self) -> list[str]:
         out = []

@@ -143,6 +143,8 @@ def admit(
     cache_tracker: list | None = None,
     queue_space: int | None = None,
     defer_count: bool = False,
+    seen_bloom: DataFrame | None = None,
+    bloom_conf: tuple[int, int] = (64, 1 << 20),
 ) -> tuple[DataFrame, int | None, DataFrame | None]:
     """Full admission pipeline → (admitted rows with final ``seq``, count,
     queue-dropped rows).
@@ -173,7 +175,24 @@ def admit(
     """
     deduped = wave_dedup(allowed)
     if seen is not None:
-        deduped = deduped.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+        if seen_bloom is not None:
+            # filter-then-verify (state/bloom.py): provably-new candidates
+            # bypass the exact anti-join; only the maybe-seen tail (true
+            # dups + fpp false positives) probes the seen table
+            from ..state.bloom import bloom_classify
+
+            classified = bloom_classify(
+                deduped, seen_bloom, bloom_conf[0], bloom_conf[1]
+            )
+            fresh = classified.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+            maybe = classified.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+            deduped = fresh.unionByName(
+                maybe.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+            )
+        else:
+            deduped = deduped.join(
+                seen.select("url_hash"), on="url_hash", how="left_anti"
+            )
     budget_left = max(0, max_unique - seen_count)
     cap = budget_left if queue_space is None else min(budget_left, max(0, queue_space))
     if defer_count:

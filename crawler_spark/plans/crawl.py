@@ -268,6 +268,22 @@ class SparkCrawler:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def _append_bloom_delta(self, seen_path: str, wave: int) -> None:
+        """Maintain the partitioned Bloom sidecar (state/bloom.py): append
+        this wave's delta bitsets built from the just-written seen rows (a
+        url_hash-pruned scan of the wave file). Must land before the next
+        wave's probe — that ordering is the no-false-negative invariant."""
+        if not self.config.seen_bloom_enabled:
+            return
+        from ..state.bloom import build_bloom_delta
+
+        delta = build_bloom_delta(
+            self.spark.read.parquet(seen_path).select("url_hash"),
+            num_buckets=self.config.seen_bloom_buckets,
+            nbits=self.config.seen_bloom_bits,
+        )
+        self.store.append("seen_bloom", delta, wave)
+
     def _gate_and_admit(self, candidates: DataFrame, seen: DataFrame | None,
                         seen_count: int, seq_base: int, wave: int):
         """Gate chain → denied lineage rows + admitted frontier rows +
@@ -291,12 +307,19 @@ class SparkCrawler:
         # wave-sized cache, one job per admission; n_adm is read from the
         # seen write's parquet footers by the caller (store.row_count)
         defer = not self.config.lineage_enabled
+        seen_bloom = (
+            self.store.read("seen_bloom")
+            if (self.config.seen_bloom_enabled and seen is not None)
+            else None
+        )
         admitted, n_adm, queue_dropped = admit(
             allowed, seen, seen_count, self.config.max_unique_url_count, seq_base,
             num_buckets=int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
             cache_tracker=self._wave_caches,
             queue_space=self.config.url_queue_size_limit,
             defer_count=defer,
+            seen_bloom=seen_bloom,
+            bloom_conf=(self.config.seen_bloom_buckets, self.config.seen_bloom_bits),
         )
         if queue_dropped is not None:
             # strict-compat queue cap: dropped rows surface as queue_full
@@ -414,6 +437,7 @@ class SparkCrawler:
             base_wave = manifest["wave"] + 1
             seq_base = manifest["seq_base"]
             self.store.reset("seen")
+            self.store.reset("seen_bloom")
             self.store.reset("frontier_pending")
             manifest = None
         else:
@@ -461,6 +485,7 @@ class SparkCrawler:
             # the seen table rows ARE frontier rows (full columns): one
             # write serves both the dedup anti-join and the next wave
             pend_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
+            self._append_bloom_delta(pend_path, wave)
             if n_adm is None:
                 n_adm = self.store.row_count(pend_path)
             frontier = self.spark.read.parquet(pend_path)
@@ -611,6 +636,7 @@ class SparkCrawler:
             # next frontier: the seen table stores full frontier columns and
             # the anti-join probe prunes to url_hash at the parquet scan
             seen_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
+            self._append_bloom_delta(seen_path, wave)
             if n_adm is None:
                 n_adm = self.store.row_count(seen_path)
             _mark("seen_merge")
