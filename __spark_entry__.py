@@ -669,6 +669,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cdx_index(pages)
 
+    def unicode_clean_q(spark, sf):
+        # ftfy-lite cleanup via Arrow-batched mapInPandas: combining
+        # sequences, control chars, and whitespace runs are synthesized
+        # onto the (ASCII) corpus so NFC + strip + collapse all fire
+        from crawler_spark.textops.textstats import unicode_clean
+
+        docs = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit("\te\u0301")),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.col("text"), F.lit(" x\u0007\u0007  y")),
+            )
+            .otherwise(F.col("text")),
+        )
+        return unicode_clean(docs)
+
     def kmeans_q(spark, sf):
         # distributed Lloyd k-means (integer fixed point): the offline
         # centroid trainer behind semantic_dedup / ivf_topk
@@ -740,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": incr_dedup,
         "surt_index": surt_idx,
         "kmeans_clusters": kmeans_q,
+        "unicode_clean": unicode_clean_q,
     }
 
 
@@ -1900,4 +1921,19 @@ def oracle_sql() -> dict[str, str]:
             FROM hp
         """,
         "kmeans_clusters": _kmeans_sql(k=4, iters=2),
+        "unicode_clean": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text || chr(9) || 'e' || chr(769)
+                          WHEN doc_id % 3 = 1 THEN text || ' x' || chr(7) || chr(7) || '  y'
+                          ELSE text END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                          '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                          '[ \\t\\n\\r\\f]+', ' ', 'g')) AS clean_text
+              FROM d)
+            SELECT doc_id, clean_text, (clean_text <> text) AS changed FROM c
+        """,
     }

@@ -73,6 +73,7 @@ HEADLINE = [
     "incremental_dedup",
     "surt_index",
     "kmeans_clusters",
+    "unicode_clean",
 ]
 
 

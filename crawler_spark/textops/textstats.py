@@ -205,3 +205,57 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("fp"))
         .distinct()
     )
+
+
+def unicode_clean(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unicode text normalization — the cleanup pass (ftfy-lite) every
+    web-text pipeline runs before tokenization: NFC canonical composition
+    (combining sequences → precomposed forms, so 'e' + U+0301 equals 'é'
+    for all downstream hashing/dedup), C0/C1 control-character strip, and
+    ASCII-whitespace collapse + trim.
+
+    This is the repo's reference example of the VECTORIZED Python path
+    (`input_hint`: "pandas/Arrow UDFs, no per-row Python"): NFC has no
+    JVM built-in, so the normalization runs as Arrow-batched
+    ``mapInPandas`` using pandas' vectorized ``Series.str`` ops — one
+    Python roundtrip per 32k-row batch, never per row. A pure map stage:
+    zero shuffles, fuses with the scan; the whitespace class is written
+    as an explicit ASCII set so the RE2-based SQL oracle (DuckDB
+    ``nfc_normalize`` + ``regexp_replace``) replays it byte-for-byte.
+
+    Returns (id, clean_text, changed).
+    """
+    import re
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = re.compile(r"[ \t\n\r\f]+")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("changed", T.BooleanType()),
+        ]
+    )
+
+    def clean(batches):
+        for pdf in batches:
+            s = pdf[text_col].astype("string").fillna("")
+            c = (
+                s.str.normalize("NFC")
+                .str.replace(ctrl, "", regex=True)
+                .str.replace(ws, " ", regex=True)
+                .str.strip()
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "clean_text": c,
+                    "changed": (c != s).astype(bool),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(clean, out_schema)

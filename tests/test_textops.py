@@ -537,3 +537,25 @@ def test_semantic_dedup_with_trained_kmeans_centroids(spark):
     assert kept[0] is True
     assert all(kept[i] is False for i in range(1, 10))
     assert len(kept) == 20
+
+
+def test_unicode_clean_nfc_controls_whitespace(spark):
+    from crawler_spark.textops.textstats import unicode_clean
+
+    df = spark.createDataFrame(
+        [
+            (1, "cafe\u0301 au lait"),  # decomposed e + combining acute
+            (2, "bell\u0007 and\ttabs\n\nhere"),
+            (3, "  padded   spaces  "),
+            (4, "already clean"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unicode_clean(df).collect()}
+    assert out[1]["clean_text"] == "caf\u00e9 au lait"  # precomposed
+    assert out[1]["changed"] is True
+    assert out[2]["clean_text"] == "bell and tabs here"
+    assert out[3]["clean_text"] == "padded spaces"
+    assert out[4]["clean_text"] == "already clean" and out[4]["changed"] is False
+    assert out[5]["clean_text"] == ""
