@@ -689,6 +689,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return unicode_clean(docs)
 
+    def crawl_diff_q(spark, sf):
+        # snapshot diff between two deterministic carves of the corpus:
+        # %11 ids exist only in "new" (added), %13 only in "old" (removed),
+        # %7 mutate (changed), the rest hash equal (unchanged)
+        from crawler_spark.operators.diff import crawl_diff
+
+        docs = _t(spark, sf, "documents")
+        old = docs.filter(F.col("doc_id") % 11 != 0)
+        new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+            ).otherwise(F.col("text")),
+        )
+        return crawl_diff(old, new, id_col="doc_id", content_col="text")
+
     def kmeans_q(spark, sf):
         # distributed Lloyd k-means (integer fixed point): the offline
         # centroid trainer behind semantic_dedup / ivf_topk
@@ -761,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_index": surt_idx,
         "kmeans_clusters": kmeans_q,
         "unicode_clean": unicode_clean_q,
+        "crawl_diff": crawl_diff_q,
     }
 
 
@@ -1935,5 +1952,23 @@ def oracle_sql() -> dict[str, str]:
                           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS clean_text
               FROM d)
             SELECT doc_id, clean_text, (clean_text <> text) AS changed FROM c
+        """,
+        "crawl_diff": """
+            WITH o AS (
+              SELECT doc_id AS id, md5(coalesce(text, '')) AS old_fp
+              FROM documents WHERE doc_id % 11 <> 0),
+            n AS (
+              SELECT doc_id AS id,
+                     md5(coalesce(CASE WHEN doc_id % 7 = 0
+                                       THEN text || ' updated'
+                                       ELSE text END, '')) AS new_fp
+              FROM documents WHERE doc_id % 13 <> 0)
+            SELECT coalesce(o.id, n.id) AS id,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_fp, n.new_fp
+            FROM o FULL OUTER JOIN n ON o.id = n.id
         """,
     }

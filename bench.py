@@ -74,6 +74,7 @@ HEADLINE = [
     "surt_index",
     "kmeans_clusters",
     "unicode_clean",
+    "crawl_diff",
 ]
 
 
