@@ -413,6 +413,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=3)
 
+    def host_components(spark, sf):
+        # web-graph connected components at the host level: the same
+        # alternating large-star/small-star machinery as dup_clusters,
+        # over the bipartite customer–supplier link graph (disjoint node
+        # id spaces via 2k / 2k+1)
+        from crawler_spark.textops.dedup import dup_clusters
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        edges = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("id_a"),
+                (F.col("l_suppkey") * 2 + 1).alias("id_b"),
+            )
+            .distinct()
+        )
+        return dup_clusters(edges)
+
     def lang_id_model(spark, sf):
         # model-based language ID through the production scoring path
         # (broadcast model + Arrow-batched mapInPandas — what a fastText
@@ -778,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": kmeans_q,
         "unicode_clean": unicode_clean_q,
         "crawl_diff": crawl_diff_q,
+        "host_components": host_components,
     }
 
 
@@ -1970,5 +1990,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status,
                    o.old_fp, n.new_fp
             FROM o FULL OUTER JOIN n ON o.id = n.id
+        """,
+        "host_components": """
+            WITH RECURSIVE edges0 AS (
+              SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+            edges AS (
+              SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+            SELECT u AS node, min(r) AS cluster FROM reach GROUP BY u
         """,
     }
