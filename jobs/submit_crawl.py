@@ -69,6 +69,10 @@ def main(argv=None):
     ap.add_argument("--reuse-unchanged", action="store_true",
                     help="recrawl/purge: skip re-parsing pages whose corpus "
                          "warc_ts is unchanged (the offline 304)")
+    ap.add_argument("--bloom", action="store_true",
+                    help="maintain the partitioned Bloom sidecar over the "
+                         "seen set; provably-new candidates bypass the exact "
+                         "anti-join (filter-then-verify, state/bloom.py)")
     args = ap.parse_args(argv)
     if not args.pages and not args.live:
         ap.error("--pages is required unless --live is given")
@@ -108,6 +112,8 @@ def main(argv=None):
             overrides["warc_export_dir"] = args.warc_export
         if args.reuse_unchanged:
             overrides["reuse_unchanged_pages"] = True
+        if args.bloom:
+            overrides["seen_bloom_enabled"] = True
         if overrides:
             config = replace(config, **overrides)
     else:
@@ -133,6 +139,8 @@ def main(argv=None):
             kwargs["warc_export_dir"] = args.warc_export
         if args.reuse_unchanged:
             kwargs["reuse_unchanged_pages"] = True
+        if args.bloom:
+            kwargs["seen_bloom_enabled"] = True
         config = CrawlConfig(**kwargs)
 
     # output_sink: elasticsearch (offline) — resolve the export target up

@@ -69,3 +69,10 @@ def test_spark_submit_pyfiles_and_resume(tmp_path):
     assert res3["seen_count"] == res["seen_count"]
     res4 = _run_submit(zip_path, pages, state, cfg["seed_urls"], extra=("--resume",))
     assert res4["seen_count"] == res3["seen_count"]
+
+    # bloom-sidecar admission path through the packaged job: identical
+    # seen count, sidecar deltas materialized in the state dir
+    state_b = str(tmp_path / "state_bloom")
+    res5 = _run_submit(zip_path, pages, state_b, cfg["seed_urls"], extra=("--bloom",))
+    assert res5["seen_count"] == res["seen_count"]
+    assert os.path.isdir(os.path.join(state_b, "seen_bloom"))
