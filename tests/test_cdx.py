@@ -60,3 +60,33 @@ def test_cdx_index_and_sharded_write_is_globally_sorted(spark):
         seen.extend(keys)
     assert seen == sorted(seen)
     assert len(seen) == 200
+
+
+def test_surt_key_matches_python_reference_on_adversarial_matrix(spark):
+    """Differential test: the codegen SURT expression vs an independent
+    per-row Python reference, over the cartesian matrix of scheme x www x
+    case x port x path/query shapes (one Spark job, every row compared)."""
+    from crawler_spark.sources.cdx import surt_key
+
+    def surt_py(url: str) -> str:
+        rest = url.split("://", 1)[1].lower() if "://" in url else url.lower()
+        hostport, _, path = rest.partition("/")
+        path = "/" + path if _ else "/"
+        host, colon, port = hostport.partition(":")
+        if host.startswith("www."):
+            host = host[4:]
+        return ",".join(reversed(host.split("."))) + colon + port + ")" + path
+
+    urls = []
+    for scheme in ("http", "https"):
+        for host in ("example.com", "WWW.Sub.Example.COM", "a.b.c.d.e", "localhost"):
+            for port in ("", ":8080", ":443"):
+                for tail in ("", "/", "/a/b", "/a/b?q=1&x=2", "/%7Euser"):
+                    urls.append(f"{scheme}://{host}{port}{tail}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["s"]
+        for r in df.select("url", surt_key(F.col("url")).alias("s")).collect()
+    }
+    for u in urls:
+        assert got[u] == surt_py(u), u
