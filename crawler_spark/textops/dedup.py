@@ -101,14 +101,33 @@ def _band_keys(
     )
 
 
-def incremental_dedup(
-    new_df: DataFrame,
-    index_df: DataFrame,
+def band_key_index(
+    df: DataFrame,
     n_hashes: int = 16,
     bands: int = 4,
     gram: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (band, band_key) index of a corpus snapshot — persist this
+    once per snapshot (and MERGE-append per ingest) so later
+    :func:`incremental_dedup` runs fingerprint only the new batch."""
+    return (
+        _band_keys(df, n_hashes, bands, gram, text_col, id_col)
+        .select("band", "band_key")
+        .distinct()
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame | None = None,
+    n_hashes: int = 16,
+    bands: int = 4,
+    gram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-SNAPSHOT near-dup gate — the op every recurring crawl runs
     before ingesting a new batch: flag each NEW document as ``novel``
@@ -127,10 +146,14 @@ def incremental_dedup(
     uniformly-distributed md5 keys otherwise (AQE picks). No window, no
     self-join, no quadratic term anywhere.
     """
+    if (index_df is None) == (index_keys is None):
+        raise ValueError("pass exactly one of index_df / index_keys")
     new_keys = _band_keys(new_df, n_hashes, bands, gram, text_col, id_col)
-    idx_keys = _band_keys(index_df, n_hashes, bands, gram, text_col, id_col).select(
-        "band", "band_key"
-    ).distinct()
+    idx_keys = (
+        index_keys
+        if index_keys is not None
+        else band_key_index(index_df, n_hashes, bands, gram, text_col, id_col)
+    )
     hits = (
         new_keys.join(idx_keys, ["band", "band_key"], "left_semi")
         .select(id_col)

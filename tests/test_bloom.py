@@ -95,3 +95,39 @@ def test_crawl_with_bloom_sidecar_matches_plain_antijoin(spark, corpus):
     assert os.path.isdir(bloom_dir) and any(
         d.startswith("wave=") for d in os.listdir(bloom_dir)
     )
+
+
+def test_crawl_bloom_resume_keeps_seen_consistent(spark, corpus, tmp_path):
+    """Interrupt a bloom-enabled crawl after 2 waves and resume: the final
+    seen set must equal an uninterrupted plain-anti-join crawl's (the
+    sidecar deltas persisted in the state dir must cover exactly the seen
+    rows on resume)."""
+    from dataclasses import replace
+
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.fixtures.gen import write_parquet
+    from crawler_spark.plans.crawl import SparkCrawler
+
+    rows, cfg = corpus
+    pages_path = str(tmp_path / "pages.parquet")
+    write_parquet(rows, pages_path)
+    base = CrawlConfig(
+        seed_urls=tuple(cfg["seed_urls"]),
+        sitemap_urls=tuple(cfg["sitemap_urls"]),
+        crawl_rules=cfg["crawl_rules"],
+    )
+    pages = spark.read.parquet(pages_path)
+    full = SparkCrawler(
+        spark, base, pages, str(tmp_path / "state_full"), max_waves=30
+    ).run()
+    expected = {r["url_hash"] for r in full.seen.select("url_hash").collect()}
+
+    bcfg = replace(base, seen_bloom_enabled=True, seen_bloom_buckets=8,
+                   seen_bloom_bits=1 << 16)
+    state = str(tmp_path / "state_bloom_resume")
+    SparkCrawler(spark, bcfg, pages, state, max_waves=2).run()
+    res = SparkCrawler(
+        spark, bcfg, pages, state, max_waves=30, resume=True
+    ).run()
+    got = {r["url_hash"] for r in res.seen.select("url_hash").collect()}
+    assert got == expected

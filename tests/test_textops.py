@@ -559,3 +559,27 @@ def test_unicode_clean_nfc_controls_whitespace(spark):
     assert out[3]["clean_text"] == "padded spaces"
     assert out[4]["clean_text"] == "already clean" and out[4]["changed"] is False
     assert out[5]["clean_text"] == ""
+
+
+def test_incremental_dedup_with_stored_band_index(spark, tmp_path):
+    from crawler_spark.textops.dedup import band_key_index, incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    index = spark.createDataFrame(
+        [(1, base), (2, "indexed corpus text about spark engines and tables")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "band_index.parquet")
+    band_key_index(index).write.parquet(idx_path)
+
+    new = spark.createDataFrame(
+        [(100, base), (101, "wholly novel text on parquet archive formats")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["novel"]
+        for r in incremental_dedup(
+            new, index_keys=spark.read.parquet(idx_path)
+        ).collect()
+    }
+    assert out == {100: False, 101: True}
