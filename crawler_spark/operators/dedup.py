@@ -178,12 +178,19 @@ def admit(
         if seen_bloom is not None:
             # filter-then-verify (state/bloom.py): provably-new candidates
             # bypass the exact anti-join; only the maybe-seen tail (true
-            # dups + fpp false positives) probes the seen table
+            # dups + fpp false positives) probes the seen table. The
+            # classified wave feeds BOTH filter branches — persist it
+            # (wave-sized skinny rows, end-of-wave unpersist via
+            # cache_tracker) so the gate chain + bloom cogroup run once
+            from pyspark.storagelevel import StorageLevel
+
             from ..state.bloom import bloom_classify
 
             classified = bloom_classify(
                 deduped, seen_bloom, bloom_conf[0], bloom_conf[1]
-            )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            if cache_tracker is not None:
+                cache_tracker.append(classified)
             fresh = classified.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
             maybe = classified.filter(F.col("_maybe_seen")).drop("_maybe_seen")
             deduped = fresh.unionByName(
