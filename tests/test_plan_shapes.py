@@ -224,3 +224,20 @@ def test_kmeans_assignment_is_shuffle_free(spark, entry_queries):
     plan = _formatted_plan(entry_queries["kmeans_clusters"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_unicode_clean_single_arrow_stage_no_shuffle(spark, entry_queries):
+    """The cleanup pass is one Arrow-batched Python map stage fused with
+    the scan: no Exchange, no per-row Python (no BatchEvalPython)."""
+    plan = _formatted_plan(entry_queries["unicode_clean"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time path forbidden
+
+
+def test_crawl_diff_single_join_no_sort(spark, entry_queries):
+    """Fingerprints are scan-side projections; the classifier is one
+    full-outer join on the id — no window, no rangepartitioning."""
+    plan = _formatted_plan(entry_queries["crawl_diff"](spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" not in plan
