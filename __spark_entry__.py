@@ -724,6 +724,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return crawl_diff(old, new, id_col="doc_id", content_col="text")
 
+    def chunk_clean(spark, sf):
+        # actionable keep-first paragraph dedup: globally-first chunk
+        # occurrences survive, everything else is stripped and the doc
+        # text reassembled (Lee et al. 2021's prescription, chunk-grain)
+        from crawler_spark.textops.dedup import chunk_dedup_clean
+
+        return chunk_dedup_clean(_t(spark, sf, "documents"), chunk_tokens=8)
+
     def kmeans_q(spark, sf):
         # distributed Lloyd k-means (integer fixed point): the offline
         # centroid trainer behind semantic_dedup / ivf_topk
@@ -798,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_clean": unicode_clean_q,
         "crawl_diff": crawl_diff_q,
         "host_components": host_components,
+        "chunk_dedup_clean": chunk_clean,
     }
 
 
@@ -1990,6 +1999,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status,
                    o.old_fp, n.new_fp
             FROM o FULL OUTER JOIN n ON o.id = n.id
+        """,
+        "chunk_dedup_clean": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            c AS (
+              SELECT doc_id,
+                     [array_to_string(
+                        tk[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')
+                      for i in range(0, CAST(ceil(len(tk)/8.0) AS INT))] AS chunks
+              FROM t),
+            occ AS (
+              SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+                     unnest(chunks) AS chunk
+              FROM c),
+            ranked AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (
+                       PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+              FROM occ),
+            kept AS (SELECT doc_id, chunk_idx, chunk FROM ranked WHERE rn = 1),
+            roll AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+              FROM kept GROUP BY doc_id),
+            meta AS (
+              SELECT doc_id,
+                     CAST(ceil(len(string_split(text, ' '))/8.0) AS BIGINT)
+                       AS n_chunks
+              FROM documents)
+            SELECT m.doc_id, m.n_chunks,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM meta m LEFT JOIN roll r ON m.doc_id = r.doc_id
         """,
         "host_components": """
             WITH RECURSIVE edges0 AS (

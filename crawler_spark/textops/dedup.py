@@ -581,3 +581,65 @@ def duplicated_span_stats(
             F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
         )
     )
+
+
+def chunk_dedup_clean(
+    df: DataFrame, chunk_tokens: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ACTIONABLE keep-first paragraph dedup: where :func:`chunk_dedup`
+    reports per-doc duplicate ratios, this actually REMOVES every chunk
+    that is not the globally-first occurrence of its content (ordered by
+    (doc, chunk position)) and reassembles the surviving text — the
+    Lee et al. 2021 prescription (drop repeated spans, keep one copy)
+    applied at paragraph/chunk granularity.
+
+    Returns (id, n_chunks, n_kept, clean_text); a doc whose every chunk
+    is boilerplate survives with ``clean_text = ''`` (curation decides
+    whether to drop it).
+
+    Scale shape: identical to :func:`chunk_dedup` (persisted skinny
+    occurrence explode; first-owner = min(struct) hash aggregate with
+    map-side combine — a chunk repeated 10^9 times costs one row per map
+    task) plus line_dedup's reassembly rollup (array_sort inside the doc
+    row, never a global sort). Three shuffles total: first-owner agg,
+    join-back on the md5 fp, per-doc rollup.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    occ = (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .withColumn("fp", F.md5(F.col("chunk")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    firsts = occ.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("c"))).alias("first")
+    )
+    kept = occ.join(firsts, "fp").filter(
+        (F.col(id_col) == F.col("first.d")) & (F.col("chunk_idx") == F.col("first.c"))
+    )
+    roll = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col), n_chunks.cast("bigint").alias("n_chunks"))
+        .join(roll, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

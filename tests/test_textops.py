@@ -583,3 +583,24 @@ def test_incremental_dedup_with_stored_band_index(spark, tmp_path):
         ).collect()
     }
     assert out == {100: False, 101: True}
+
+
+def test_chunk_dedup_clean_keep_first_reassembly(spark):
+    from crawler_spark.textops.dedup import chunk_dedup_clean
+
+    boiler = "b1 b2 b3 b4"  # one 4-token boilerplate chunk
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} u1 u2 u3 u4"),       # first owner of boiler
+            (2, f"{boiler} v1 v2 v3 v4"),       # boiler stripped here
+            (3, f"w1 w2 w3 w4 {boiler}"),       # and here (later position)
+            (4, boiler),                          # all-boilerplate doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup_clean(df, chunk_tokens=4).collect()}
+    assert out[1]["clean_text"] == f"{boiler} u1 u2 u3 u4"
+    assert out[2]["clean_text"] == "v1 v2 v3 v4"
+    assert out[3]["clean_text"] == "w1 w2 w3 w4"
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
