@@ -49,3 +49,37 @@ def test_export_sitemaps_empty_frame(spark, tmp_path):
     out = str(tmp_path / "maps")
     assert export_sitemaps(df, out) == []
     assert "<sitemapindex" in open(os.path.join(out, "sitemap_index.xml")).read()
+
+
+def test_export_sitemaps_job_from_crawl_state(spark, monkeypatch, tmp_path,
+                                              crawl_config, pages_path, capsys):
+    import json
+
+    import jobs.export_sitemaps as job
+
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.builder",
+        type("B", (), {"appName": lambda self, n: self,
+                       "getOrCreate": lambda self: spark})(),
+    )
+    from crawler_spark.functions.sitemaps import parse_sitemap
+    from crawler_spark.plans.crawl import SparkCrawler
+
+    state = str(tmp_path / "state")
+    res = SparkCrawler(
+        spark, crawl_config, spark.read.parquet(pages_path), state, max_waves=30
+    ).run()
+    doc_urls = {r["url"] for r in res.docs.select("url").collect()}
+
+    out = str(tmp_path / "maps")
+    assert job.main(["--state", state, "--out", out,
+                     "--base-url", "https://mirror.test"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["shards"] >= 1
+    import glob
+
+    got = []
+    for p in glob.glob(os.path.join(out, "sitemap-*.xml")):
+        _, links = parse_sitemap("https://mirror.test/x.xml", open(p).read())
+        got.extend(links)
+    assert set(got) == doc_urls
