@@ -952,15 +952,39 @@ def _simhash_ctes(table: str = "documents") -> str:
 """
 
 
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential-fold double dot product — bit-identical to the Spark
+    side's ``aggregate(zip_with(...), 0D, +)`` (same IEEE ops, same
+    left-to-right order), unlike list_dot_product/list_cosine_similarity
+    which compute in float32 / vectorized order."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x,y) -> x+y)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    sq = ("list_reduce(list_transform({v}, "
+          "e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x,y) -> x+y)")
+    return (f"({_sql_dot(a, b)} / "
+            f"(sqrt({sq.format(v=a)}) * sqrt({sq.format(v=b)})))")
+
+
+def _sql_cos_fp(a: str, b: str, scale: int = 10_000) -> str:
+    """floor(cos*scale + 0.5) as BIGINT — replays similarity._fp exactly
+    (pure double ops on a bit-identical cosine; round() would not)."""
+    return f"CAST(floor({_sql_cos(a, b)} * {scale}.0 + 0.5) AS BIGINT)"
+
+
 def _lsh_ann_sql() -> str:
     """SQL replay of lsh_topk with the identical plane literals."""
     planes = _lsh_planes()
     band_ctes = []
     for bi, band in enumerate(planes):
         buckets = " + ".join(
-            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-            + ", ".join(repr(x) for x in p)
-            + f"]) >= 0 THEN {1 << pi} ELSE 0 END)"
+            "(CASE WHEN "
+            + _sql_dot("embedding", "[" + ", ".join(repr(x) for x in p) + "]")
+            + f" >= 0 THEN {1 << pi} ELSE 0 END)"
             for pi, p in enumerate(band)
         )
         band_ctes.append(f"b{bi} AS (SELECT vec_id, ({buckets}) AS bucket FROM embeddings)")
@@ -976,13 +1000,13 @@ def _lsh_ann_sql() -> str:
       {cand_union})),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
-             round(list_cosine_similarity(v.embedding, q.embedding), 4) AS cos
+             {_sql_cos_fp("v.embedding", "q.embedding")} AS cos_bp
       FROM cand c
       JOIN embeddings v ON v.vec_id = c.neighbor_id
       JOIN embeddings q ON q.vec_id = c.query_id)
-    SELECT query_id, neighbor_id, rank, cos FROM (
+    SELECT query_id, neighbor_id, rank, cos_bp FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
       FROM scored)
     WHERE rank <= 10
 """
@@ -1166,12 +1190,23 @@ def oracle_sql() -> dict[str, str]:
                      sum({_TOKENS}) AS n_tokens,
                      sum(length(text)) AS n_chars
               FROM documents GROUP BY source, lang),
-            s AS (SELECT source, sum(n_docs) AS src_docs FROM g GROUP BY source),
-            tot AS (SELECT sum(sqrt(src_docs)) AS total_sqrt FROM s)
+            s AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+                  FROM g GROUP BY source),
+            iq AS (SELECT source, src_docs,
+                          src_docs * 100000000 AS m,
+                          CAST(floor(sqrt(CAST(src_docs * 100000000 AS DOUBLE)))
+                               AS BIGINT) AS s0
+                   FROM s),
+            w AS (SELECT source, src_docs,
+                         s0 + (CASE WHEN (s0+1)*(s0+1) <= m THEN 1 ELSE 0 END)
+                            - (CASE WHEN s0*s0 > m THEN 1 ELSE 0 END) AS isq
+                  FROM iq),
+            tot AS (SELECT CAST(sum(isq) AS BIGINT) AS total_isq FROM w)
             SELECT g.source, g.lang, g.n_docs, g.n_tokens, g.n_chars,
-                   s.src_docs,
-                   round(sqrt(s.src_docs) / t.total_sqrt, 4) AS src_weight_sqrt
-            FROM g JOIN s USING (source) CROSS JOIN tot t
+                   w.src_docs,
+                   CAST((w.isq * 10000) // t.total_isq AS BIGINT)
+                     AS src_weight_bp
+            FROM g JOIN w USING (source) CROSS JOIN tot t
         """,
         "revisit_schedule": """
             WITH h AS (
@@ -1185,11 +1220,12 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END) AS n_changes,
                      max(ts) AS last_seen
               FROM h GROUP BY url)
-            SELECT url, n_obs, n_changes,
-                   round(CAST(n_changes AS DOUBLE) / (n_obs - 1), 4)
-                     AS change_rate,
-                   round(86400.0 / (round(CAST(n_changes AS DOUBLE)
-                                          / (n_obs - 1), 4) + 0.1), 4)
+            SELECT url, n_obs, CAST(n_changes AS BIGINT) AS n_changes,
+                   CAST((n_changes * 10000) // (n_obs - 1) AS BIGINT)
+                     AS change_rate_bp,
+                   CAST((86400 * 10000)
+                        // ((n_changes * 10000) // (n_obs - 1) + 1000)
+                        AS BIGINT)
                      AS interval_s,
                    last_seen
             FROM a WHERE n_obs >= 2
@@ -1303,18 +1339,19 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         """,
-        "ann_topk": """
+        "ann_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                       FROM embeddings WHERE vec_id < 5)
-            SELECT query_id, neighbor_id, rank, cos FROM (
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
               SELECT q.query_id, e.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(e.embedding, q.qv), 4) AS cos,
-                     row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY round(list_cosine_similarity(e.embedding, q.qv), 4) DESC,
-                                e.vec_id ASC) AS rank
+                     {_sql_cos_fp("e.embedding", "q.qv")} AS cos_bp
               FROM embeddings e CROSS JOIN q
               WHERE e.vec_id != q.query_id)
+            SELECT query_id, neighbor_id, rank, cos_bp FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+              FROM scored)
             WHERE rank <= 10
         """,
         "multimodal_meta": """
@@ -1339,20 +1376,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
         """,
-        "cosine_dups": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45
+        "cosine_dups": f"""
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     {_sql_cos_fp("a.embedding", "b.embedding")} AS cos_bp
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos_bp FROM p WHERE cos_bp >= 4500
         """,
-        "ivf_ann_topk": """
+        "ivf_ann_topk": f"""
             WITH c AS (SELECT vec_id AS cent_id, embedding AS cent_vec
                        FROM embeddings ORDER BY vec_id LIMIT 8),
             assign AS (
               SELECT e.vec_id AS neighbor_id, e.embedding AS v_vec, c.cent_id,
                      row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY round(list_cosine_similarity(e.embedding, c.cent_vec), 6) DESC,
+                       ORDER BY {_sql_cos_fp("e.embedding", "c.cent_vec", 1_000_000)} DESC,
                                 c.cent_id ASC) AS r
               FROM embeddings e CROSS JOIN c),
             inv AS (SELECT neighbor_id, v_vec, cent_id FROM assign WHERE r = 1),
@@ -1362,18 +1400,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id, q.q_vec, c.cent_id,
                      row_number() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY round(list_cosine_similarity(q.q_vec, c.cent_vec), 6) DESC,
+                       ORDER BY {_sql_cos_fp("q.q_vec", "c.cent_vec", 1_000_000)} DESC,
                                 c.cent_id ASC) AS r
               FROM q CROSS JOIN c),
             probes AS (SELECT query_id, q_vec, cent_id FROM qa WHERE r <= 2),
             scored AS (
               SELECT p.query_id, i.neighbor_id,
-                     round(list_cosine_similarity(i.v_vec, p.q_vec), 4) AS cos
+                     {_sql_cos_fp("i.v_vec", "p.q_vec")} AS cos_bp
               FROM inv i JOIN probes p USING (cent_id)
               WHERE i.neighbor_id != p.query_id)
-            SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT query_id, neighbor_id, rank, cos_bp FROM (
               SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= 10
         """,
@@ -1817,14 +1855,14 @@ def oracle_sql() -> dict[str, str]:
                     AND n_stop >= 2) AS gopher_ok
             FROM s
         """,
-        "semantic_dedup": """
+        "semantic_dedup": f"""
             WITH c AS (SELECT vec_id AS cent_id, embedding AS cent_vec
                        FROM embeddings ORDER BY vec_id LIMIT 8),
             assign AS (
               SELECT e.vec_id, e.embedding AS v_vec, c.cent_id,
                      row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY round(list_cosine_similarity(e.embedding, c.cent_vec), 6) DESC,
+                       ORDER BY {_sql_cos_fp("e.embedding", "c.cent_vec", 1_000_000)} DESC,
                                 c.cent_id ASC) AS r
               FROM embeddings e CROSS JOIN c),
             inv AS (SELECT vec_id, v_vec, cent_id FROM assign WHERE r = 1),
@@ -1832,7 +1870,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT b.vec_id
               FROM inv a JOIN inv b
                 ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-              WHERE round(list_cosine_similarity(a.v_vec, b.v_vec), 4) >= 0.45)
+              WHERE {_sql_cos_fp("a.v_vec", "b.v_vec")} >= 4500)
             SELECT i.vec_id, i.cent_id,
                    i.vec_id NOT IN (SELECT vec_id FROM dups) AS keep
             FROM inv i

@@ -62,6 +62,14 @@ class CrawlConfig:
     # whether credential-bearing URLs (userinfo) may be fetched over
     # plain http (config.rb:72, http_executor.rb:44-46; default false)
     http_auth_allowed: bool = False
+    # SSRF guard for live fetches (filtering_dns_resolver.rb:23-57;
+    # api/config.rb:76-77,179): a host that resolves ONLY to loopback /
+    # RFC1918 / link-local / wildcard addresses is refused (an Error
+    # result) unless the matching flag is set. Both default off, like
+    # the reference — a hostile page linking http://169.254.169.254/
+    # must not make the crawler probe the internal network.
+    loopback_allowed: bool = False
+    private_networks_allowed: bool = False
     # forward proxy for all live requests (api/config.rb:83-88,170-175;
     # empty host = no proxying). Credentials become Proxy-Authorization
     http_proxy_host: str = ""

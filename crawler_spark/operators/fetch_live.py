@@ -55,6 +55,84 @@ def auth_header_for_url(url: str, auth_configs: tuple) -> str | None:
     return value
 
 
+def _addr_is_site_local(a) -> bool:
+    """java InetAddress#isSiteLocalAddress semantics (what the reference
+    tests via is_site_local_address?): RFC 1918 v4 ranges, fec0::/10 v6.
+    Deliberately NOT python's broader ``is_private`` (which also covers
+    loopback/link-local — those are separate checks, separate flags)."""
+    import ipaddress
+
+    if a.version == 4:
+        return (
+            a in ipaddress.ip_network("10.0.0.0/8")
+            or a in ipaddress.ip_network("172.16.0.0/12")
+            or a in ipaddress.ip_network("192.168.0.0/16")
+        )
+    return a in ipaddress.ip_network("fec0::/10")
+
+
+def address_allowed(
+    a, loopback_allowed: bool = False, private_networks_allowed: bool = False
+) -> bool:
+    """Mirror of filtering_dns_resolver.rb:83-97 ``allowed_address?`` /
+    ``local_address?``: loopback gated by ``loopback_allowed``; site-local
+    (RFC 1918), link-local (169.254/16, fe80::/10) and wildcard (0.0.0.0)
+    gated by ``private_networks_allowed``."""
+    if a.is_loopback and not loopback_allowed:
+        return False
+    if not private_networks_allowed and (
+        _addr_is_site_local(a) or a.is_link_local or a.is_unspecified
+    ):
+        return False
+    return True
+
+
+_DNS_GUARD_CACHE: dict = {}
+
+
+def host_resolution_allowed(
+    host: str,
+    loopback_allowed: bool = False,
+    private_networks_allowed: bool = False,
+) -> bool:
+    """SSRF guard (filtering_dns_resolver.rb:63-80): resolve ``host`` and
+    return False when every resolved address is disallowed (the
+    reference raises InvalidHost there; our caller turns that into the
+    ``<!--STATUS:599-->`` Error result). Unresolvable hosts return True
+    — the fetch itself will surface the DNS error as the same 599, and
+    a name that doesn't resolve can't be used to reach anything.
+
+    Delta vs the reference, stated honestly: the reference filters the
+    address LIST handed to its connection manager, so a host with one
+    public and one private A record connects only via the public one;
+    urllib re-resolves internally, so we can only deny when NO allowed
+    address exists. The common SSRF shapes (IP-literal link, internal
+    hostname) resolve to only-private addresses and are denied
+    identically. Results are cached per process — executor-side this
+    dedups the per-host lookup across a wave's URLs."""
+    key = (host, loopback_allowed, private_networks_allowed)
+    hit = _DNS_GUARD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import ipaddress
+    import socket
+
+    try:
+        infos = socket.getaddrinfo(host, None)
+        addrs = {
+            ipaddress.ip_address(i[4][0].split("%")[0]) for i in infos
+        }
+    except (OSError, ValueError):
+        return True
+    ok = any(
+        address_allowed(a, loopback_allowed, private_networks_allowed)
+        for a in addrs
+    )
+    if len(_DNS_GUARD_CACHE) < 65536:
+        _DNS_GUARD_CACHE[key] = ok
+    return ok
+
+
 _SSL_CTX_CACHE: dict = {}
 
 
@@ -115,6 +193,8 @@ def http_fetch_one(
     etag: str | None = None,
     last_modified: str | None = None,
     retry_after_cap_s: float = 30.0,
+    loopback_allowed: bool = True,
+    private_networks_allowed: bool = True,
     _retried: bool = False,
 ) -> tuple:
     """One GET, redirects NOT followed, response adapted to the corpus
@@ -140,6 +220,20 @@ def http_fetch_one(
     (servers that 405 HEAD must not break the crawl)."""
     import urllib.error
     import urllib.request
+
+    # SSRF guard (filtering_dns_resolver.rb): refuse hosts resolving only
+    # to disallowed loopback/private addresses BEFORE any connection.
+    # Utility-level default is permissive (callers own their targets);
+    # the product path (live_fetch_join / robots fetch) passes the
+    # CrawlConfig flags, whose defaults are the reference's secure False.
+    if not (loopback_allowed and private_networks_allowed):
+        from urllib.parse import urlsplit
+
+        _h = urlsplit(url).hostname
+        if _h and not host_resolution_allowed(
+            _h, loopback_allowed, private_networks_allowed
+        ):
+            return b"<!--STATUS:599-->", None, None
 
     class _NoRedirect(urllib.request.HTTPRedirectHandler):
         def redirect_request(self, *a, **k):  # 3xx is a result, not a hop
@@ -218,7 +312,8 @@ def http_fetch_one(
                     url, timeout_s, max_bytes, user_agent, False,
                     extractable_mimes, authorization, proxy_url,
                     ssl_mode, ssl_cas, etag, last_modified,
-                    retry_after_cap_s, _retried=True,
+                    retry_after_cap_s, loopback_allowed,
+                    private_networks_allowed, _retried=True,
                 )
         return f"<!--STATUS:{e.code}-->".encode(), None, None
     except Exception:
@@ -293,6 +388,8 @@ def fetch_urls(
     last_modifieds: list | None = None,
     validators_out: list | None = None,
     delays: list | None = None,
+    loopback_allowed: bool = True,
+    private_networks_allowed: bool = True,
 ):
     """Fetch a batch of URLs with per-host politeness: same-host requests
     run strictly in list order with ``delay_s`` between them; DIFFERENT
@@ -375,6 +472,8 @@ def fetch_urls(
                 last_modified=(
                     last_modifieds[i] if last_modifieds is not None else None
                 ),
+                loopback_allowed=loopback_allowed,
+                private_networks_allowed=private_networks_allowed,
             )
             if validators_out is not None:
                 validators_out[i] = (r_etag, r_lastmod)
@@ -421,6 +520,8 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
     proxy = proxy_url_from_config(cfg)
     ssl_mode = cfg.ssl_verification_mode
     ssl_cas = tuple(cfg.ssl_ca_certificates or ())
+    loopback_ok = cfg.loopback_allowed
+    private_ok = cfg.private_networks_allowed
 
     def fetch(it):
         import time as _time
@@ -461,6 +562,8 @@ def live_fetch_join(wave: DataFrame, cfg: CrawlConfig) -> DataFrame:
                     ]
                     if "crawl_delay_ms" in pdf.columns else None
                 ),
+                loopback_allowed=loopback_ok,
+                private_networks_allowed=private_ok,
             )
             # per-row fetch-completion wall time from the monotonic marks
             wall_base = _time.time() - _time.monotonic()

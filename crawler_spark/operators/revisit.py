@@ -27,17 +27,23 @@ def revisit_schedule(
     key_col: str = "url",
     ts_col: str = "warc_ts",
     fp_col: str = "fp",
-    base_interval_s: float = 86400.0,
+    base_interval_s: int = 86400,
     min_obs: int = 2,
 ) -> DataFrame:
     """Per-key change statistics and next-visit interval.
 
-    ``change_rate`` = changed-revisit fraction over ``n_obs - 1``
-    observation gaps; ``interval_s`` = ``base / (rate + 0.1)`` — a
+    ``change_rate_bp`` (BIGINT basis points, 0..10000) = changed-revisit
+    fraction over ``n_obs - 1`` observation gaps; ``interval_s`` (BIGINT
+    seconds) = ``base * 10000 DIV (change_rate_bp + 1000)`` — a
     never-changing page gets 10x the base interval, an always-changing
     page ~0.9x. Keys with fewer than ``min_obs`` crawls are dropped (no
     gap to estimate from). The window orders by (ts, fingerprint) so the
     lag is total-ordered and engine-portable even with tied timestamps.
+
+    All outputs are integer fixed-point (no doubles): integer DIV is
+    bit-identical across engines and partial-aggregation orders, so the
+    schedule replays exactly in any oracle — the same discipline
+    host_quality_filter / pagerank / kmeans follow.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, fp_col)
     prev = F.lag(F.col(fp_col)).over(w)
@@ -54,20 +60,23 @@ def revisit_schedule(
         )
         .filter(F.col("n_obs") >= min_obs)
     )
-    rate = F.round(F.col("n_changes") / (F.col("n_obs") - 1), 4)
+    base = int(base_interval_s)
+    rate_bp = "(n_changes * 10000) DIV (n_obs - 1)"
     return agg.select(
         F.col(key_col),
         F.col("n_obs"),
-        F.col("n_changes"),
-        rate.alias("change_rate"),
-        F.round(base_interval_s / (rate + 0.1), 4).alias("interval_s"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.expr(rate_bp).alias("change_rate_bp"),
+        F.expr(
+            f"CAST({base} AS BIGINT) * 10000 DIV (({rate_bp}) + 1000)"
+        ).alias("interval_s"),
         F.col("last_seen"),
     )
 
 
 def due_for_revisit(
     parsed: DataFrame,
-    base_interval_s: float = 86400.0,
+    base_interval_s: int = 86400,
     as_of=None,
     min_obs: int = 2,
 ) -> DataFrame:
@@ -114,7 +123,7 @@ def due_for_revisit(
         )
         .filter(F.col("next_visit") <= as_of_col)
         .select(
-            "url_hash", "norm_url", "n_obs", "change_rate",
+            "url_hash", "norm_url", "n_obs", "change_rate_bp",
             "interval_s", "last_seen", "next_visit",
         )
     )

@@ -122,6 +122,10 @@ class SparkCrawler:
                     proxy_url=proxy_url_from_config(self.config),
                     ssl_mode=self.config.ssl_verification_mode,
                     ssl_cas=tuple(self.config.ssl_ca_certificates or ()),
+                    loopback_allowed=self.config.loopback_allowed,
+                    private_networks_allowed=(
+                        self.config.private_networks_allowed
+                    ),
                 )
                 if body.startswith(b"<!--STATUS:"):
                     out[host_key] = robots_mod.failed_fetch(int(body[11:14])).to_tuple()
@@ -188,6 +192,8 @@ class SparkCrawler:
             proxy = proxy_url_from_config(cfgc)
             ssl_mode = cfgc.ssl_verification_mode
             ssl_cas = tuple(cfgc.ssl_ca_certificates or ())
+            loopback_ok = cfgc.loopback_allowed
+            private_ok = cfgc.private_networks_allowed
 
             def fetch_robots(it):
                 import pandas as pd
@@ -201,6 +207,8 @@ class SparkCrawler:
                         user_agent=agent_s, threads=threads,
                         auth_configs=auth_cfgs, proxy_url=proxy,
                         ssl_mode=ssl_mode, ssl_cas=ssl_cas,
+                        loopback_allowed=loopback_ok,
+                        private_networks_allowed=private_ok,
                     )
                     out = pdf[["host_key", "norm_url"]].copy()
                     out["html"] = pd.Series(
@@ -283,6 +291,36 @@ class SparkCrawler:
             nbits=self.config.seen_bloom_bits,
         )
         self.store.append("seen_bloom", delta, wave)
+
+    def _ensure_bloom_covers_seen(self, manifest: dict, wave: int) -> None:
+        """Resume-time sidecar validation (no-false-negative invariant):
+        the Bloom fast path may only run if the sidecar provably covers
+        the FULL seen table with the CURRENT (buckets, nbits) params.
+        The manifest's ``bloom`` key asserts exactly that (written each
+        bloom-on wave, removed by bloom-off waves). Any mismatch —
+        --bloom newly enabled on a state crawled without it, params
+        changed between runs, or a bloom-off resume that left a coverage
+        gap — rebuilds the sidecar from the seen table in one pass
+        (same cost as one wave's delta build, amortized over the run;
+        silently probing a stale sidecar would instead re-admit
+        already-seen URLs via Bloom false negatives)."""
+        want = {"buckets": self.config.seen_bloom_buckets,
+                "bits": self.config.seen_bloom_bits}
+        if manifest.get("bloom") == want:
+            return
+        from ..state.bloom import build_bloom_delta
+
+        self.store.reset("seen_bloom")
+        seen_full = self.store.read("seen")
+        if seen_full is not None:
+            delta = build_bloom_delta(
+                seen_full.select("url_hash"),
+                num_buckets=want["buckets"], nbits=want["bits"],
+            )
+            # land under the PRIOR wave's slot (free after the reset):
+            # append() overwrites per-wave dirs, and the resuming wave
+            # still appends its own delta under its own number
+            self.store.append("seen_bloom", delta, max(0, wave - 1))
 
     def _gate_and_admit(self, candidates: DataFrame, seen: DataFrame | None,
                         seen_count: int, seq_base: int, wave: int):
@@ -448,6 +486,8 @@ class SparkCrawler:
             seq_base = manifest["seq_base"]
             seen_count = manifest["seen_count"]
             seen = self.store.read("seen")
+            if cfg.seen_bloom_enabled:
+                self._ensure_bloom_covers_seen(manifest, wave)
             frontier = self.spark.read.parquet(manifest["frontier_pending"])
             if cfg.lineage_enabled:
                 # event_generator.rb:54-69: crawl-start with resume=true
@@ -685,6 +725,16 @@ class SparkCrawler:
             m = self.store.read_manifest()
             m["frontier_pending"] = pend_path
             m["run_base_wave"] = base_wave
+            # record sidecar coverage: the key's presence asserts "the
+            # seen_bloom deltas cover the seen table as of this manifest,
+            # built with exactly these params" — resume validates against
+            # it (and a bloom-off run removes it, so a later bloom-on
+            # resume knows the sidecar has a coverage gap and rebuilds)
+            if cfg.seen_bloom_enabled:
+                m["bloom"] = {"buckets": cfg.seen_bloom_buckets,
+                              "bits": cfg.seen_bloom_bits}
+            else:
+                m.pop("bloom", None)
             self.store.write_manifest(m)
             for df in getattr(self, "_wave_caches", []):
                 df.unpersist()
@@ -1169,13 +1219,22 @@ def state_docs_view(store, config=None) -> DataFrame:
     row per id from the parsed table, minus tombstoned ids. Standalone so
     downstream jobs (rank_hosts, refresh pipelines) read docs from a state
     directory without constructing a SparkCrawler."""
+    from pyspark.sql import types as T
     from pyspark.sql import Window
 
     from ..config import CrawlConfig
+    from ..operators.parse import PARSED_SCHEMA
 
-    d = docs_from_parsed(
-        store.read("parsed"), config or CrawlConfig(), extra_cols=("wave",)
-    )
+    parsed = store.read("parsed")
+    if parsed is None:
+        # a crawl that never fetched a single page (all seeds denied by
+        # gates/SSRF guard, or unreachable) writes no parsed table — the
+        # docs view is empty, not an error
+        parsed = store.spark.createDataFrame(
+            [], T.StructType(list(PARSED_SCHEMA.fields)
+                             + [T.StructField("wave", T.IntegerType())])
+        )
+    d = docs_from_parsed(parsed, config or CrawlConfig(), extra_cols=("wave",))
     w = Window.partitionBy("id").orderBy(F.col("wave").desc())
     d = (
         d.withColumn("_rn", F.row_number().over(w))

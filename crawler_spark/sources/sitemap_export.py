@@ -40,7 +40,18 @@ def export_sitemaps(
 
     ``base_url`` prefixes shard locations in the index file (the URL the
     shards will be served from). ``slack`` derates the per-file target so
-    range-partition sampling imbalance stays under the protocol cap.
+    range-partition sampling imbalance stays under the effective cap
+    (``min(urls_per_file, 50_000)``) — and each task re-checks ROWS
+    against that same effective cap (not just the protocol constant), so
+    sampling imbalance can never silently emit a shard larger than the
+    caller asked for.
+
+    Filesystem contract: shards are written with plain ``open()`` from
+    executor tasks and the index from the driver, so ``out_dir`` MUST be
+    a filesystem every executor and the driver share (local[*], NFS, or
+    a FUSE-mounted object store). On a multi-node cluster without a
+    shared mount the shards would land on scattered executor-local disks
+    — route ``out_dir`` through a shared mount there.
     Returns the shard paths (driver-side: one small report row per task).
     """
     import math
@@ -80,9 +91,10 @@ def export_sitemaps(
                         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
                     )
                 rows += len(pdf)
-                if rows > PROTOCOL_CAP:
+                if rows > cap:
                     raise ValueError(
-                        f"sitemap shard {pid} exceeds the 50k protocol cap ({rows})"
+                        f"sitemap shard {pid} exceeds the per-file cap "
+                        f"({rows} > {cap})"
                     )
                 for rec in pdf.itertuples(index=False):
                     f.write(f"  <url><loc>{escape(rec.url)}</loc>")

@@ -385,10 +385,15 @@ def corpus_mix_report(
     source-weighting scheme of the GPT-3/Pile training mixes, which
     up-weights small high-quality sources relative to raw proportion.
 
-    sqrt is exactly rounded under IEEE-754, so unlike pow(x, α) the
-    weights replay bit-identically in any oracle engine. One groupBy
-    shuffle over the corpus; the source rollup and grand total are
-    aggregates of the (tiny) group table, broadcast back.
+    The weight is integer fixed-point: ``src_weight_bp`` (BIGINT basis
+    points) = ``isqrt_fp(src_docs) * 10000 DIV Σ isqrt_fp(src_docs)``
+    where ``isqrt_fp(n) = isqrt(n * 10^8) = floor(sqrt(n) * 10^4)`` is
+    an EXACT integer square root (floor(sqrt(double)) plus a one-step
+    integer correction, valid for src_docs up to ~9e10 per source).
+    Unlike summing doubles, BIGINT sums are partial-aggregation-order
+    invariant, so the weights replay bit-identically in any oracle
+    engine. One groupBy shuffle over the corpus; the source rollup and
+    grand total are aggregates of the (tiny) group table, broadcast back.
     """
     t = F.col(text_col)
     spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
@@ -399,9 +404,18 @@ def corpus_mix_report(
         F.sum(F.length(t)).alias("n_chars"),
     )
     srcs = g.groupBy(source_col).agg(F.sum("n_docs").alias("src_docs"))
-    total = srcs.agg(
-        F.sum(F.sqrt(F.col("src_docs"))).alias("total_sqrt")
+    # exact isqrt(src_docs * 10^8): the double sqrt estimate is within
+    # ~2e-7 of the true root here, so a single +/-1 integer correction
+    # makes floor() exact on every engine regardless of libm rounding.
+    m = F.col("src_docs").cast("long") * F.lit(100_000_000).cast("long")
+    s0 = F.floor(F.sqrt(m.cast("double"))).cast("long")
+    isq = (
+        s0
+        + F.when((s0 + 1) * (s0 + 1) <= m, F.lit(1)).otherwise(F.lit(0))
+        - F.when(s0 * s0 > m, F.lit(1)).otherwise(F.lit(0))
     )
+    srcs = srcs.withColumn("src_isqrt", isq)
+    total = srcs.agg(F.sum("src_isqrt").alias("total_isqrt"))
     return (
         g.join(srcs, source_col)
         .crossJoin(F.broadcast(total))
@@ -412,9 +426,9 @@ def corpus_mix_report(
             "n_tokens",
             "n_chars",
             "src_docs",
-            F.round(
-                F.sqrt(F.col("src_docs")) / F.col("total_sqrt"), 4
-            ).alias("src_weight_sqrt"),
+            F.expr(
+                "src_isqrt * 10000 DIV total_isqrt"
+            ).alias("src_weight_bp"),
         )
     )
 

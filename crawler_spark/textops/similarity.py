@@ -23,15 +23,33 @@ def _cosine(a: str, b: str):
     return dot / (na * nb)
 
 
+def _fp(col, scale: int = 10_000):
+    """Round-half-up fixed point: ``floor(x * scale + 0.5)`` as BIGINT.
+
+    Pure IEEE-754 double ops, so any engine that computes the same
+    double ``x`` (the sequential-fold cosine above is bit-identical to a
+    DuckDB list_reduce replay) produces the same integer — unlike
+    ``round()``, whose decimal half-up rule is engine-specific (Spark:
+    BigDecimal over the shortest repr; DuckDB: multiply-round-divide).
+    Similarity outputs are therefore BIGINT basis points (``cos_bp``),
+    never rounded doubles.
+    """
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+
+def _cos_bp(a: str, b: str, scale: int = 10_000):
+    return _fp(_cosine(a, b), scale)
+
+
 def brute_force_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, neighbor_id, rank, cos) — exact top-k by cosine.
+    """(query_id, neighbor_id, rank, cos_bp) — exact top-k by cosine.
 
     queries is broadcast (it is the small side by construction); ranking
-    rounds the cosine to 4 decimals before ordering with an id tie-break so
-    results are stable across float summation orders (and engines).
+    quantizes the cosine to BIGINT basis points before ordering with an
+    id tie-break so results are stable across engines and runs.
     """
     from pyspark.sql import Window
 
@@ -44,13 +62,13 @@ def brute_force_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine("v_vec", "q_vec"), 4).alias("cos"),
+        _cos_bp("v_vec", "q_vec").alias("cos_bp"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_bp").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
+        .select("query_id", "neighbor_id", "rank", "cos_bp")
     )
 
 
@@ -71,56 +89,70 @@ def hyperplane_bucket(df: DataFrame, planes: list, id_col: str = "vec_id",
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
 
-def cosine_dup_pairs(
-    vectors: DataFrame, threshold: float = 0.95,
-    id_col: str = "vec_id", vec_col: str = "embedding", n_blocks: int = 8,
+def _gemm_candidate_pairs(
+    v: DataFrame, threshold: float, n_blocks: int, group_cols: tuple = (),
+    witness_only: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
+    """Blocked all-pairs candidate generation: ``v`` is ``(id long, vec,
+    *group_cols)``; emits every ``(id_a < id_b)`` pair (within the same
+    group when ``group_cols`` given) whose BLAS-GEMM cosine clears
+    ``threshold - slack``.
 
-    Exact all-pairs baseline as a *distributed blocked GEMM*: vectors are
-    hashed into ``n_blocks`` blocks, every unordered block pair (a ≤ b)
-    becomes one ``applyInPandas`` group, and each group computes its
-    similarity tile with one numpy matmul — Arrow-batched, no driver
-    collect, no per-pair lambda interpretation (Spark's zip_with/aggregate
-    higher-order funcs are interpreted, ~100× slower per pair). Each row is
-    replicated n_blocks times; tile count is n_blocks·(n_blocks+1)/2, so
-    parallelism scales quadratically in n_blocks while replication scales
-    linearly — the standard all-pairs trade. Scale path at 10^9 vectors:
-    LSH candidate generation + per-pair verify (``cosine_dup_pairs_lsh``).
+    Rows are hashed into ``n_blocks`` blocks and replicated into the
+    n_blocks·(n_blocks+1)/2 unordered block-pair tiles, so no single
+    task ever sees more than ~2·|group|/n_blocks rows — this is the
+    skew guard for degenerate groups (a one-cluster corpus of identical
+    embeddings becomes many bounded tiles, not one quadratic task).
+    BLAS reorders double summation, so these cosines are candidates
+    only: callers re-score survivors with the sequential-fold
+    ``_cos_bp`` for exact, engine-portable results.
+
+    ``witness_only=True`` is for callers that only need "does SOME
+    lower-id near-dup exist for this id" (the SemDeDup keep flag): each
+    tile emits, per ``id_b``, the minimum ``id_a`` among its *certainly*
+    passing pairs (GEMM cos >= threshold + slack, guaranteed true) plus
+    every pair in the uncertainty band [threshold - slack, threshold +
+    slack) for exact adjudication. Output is then LINEAR in the group
+    size (<= rows x tiles-per-row + boundary pairs) even when the whole
+    group is one duplicate blob — the star-edge analog of the minhash
+    mega-bucket cap — and the verified keep set is provably identical
+    to the all-pairs join's.
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType, IntegerType, LongType, StructField, StructType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    v = vectors.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    gcols = list(group_cols)
+    v = v.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
     # replicate each row into every block-pair tile it participates in
     tiles = F.array(*(
         [F.struct(F.col("blk").alias("ga"), F.lit(b).cast("int").alias("gb"))
          for b in range(n_blocks)]
     ))
     expl = (
-        v.select("id", "vec", "blk", F.explode(tiles).alias("t"))
+        v.select(*gcols, "id", "vec", "blk", F.explode(tiles).alias("t"))
         .select(
-            "id", "vec", "blk",
+            *gcols, "id", "vec", "blk",
             F.least("blk", F.col("t.gb")).alias("ga"),
             F.greatest("blk", F.col("t.gb")).alias("gb"),
         )
-        .dropDuplicates(["id", "ga", "gb"])
+        .dropDuplicates(gcols + ["id", "ga", "gb"])
     )
     out_schema = StructType(
         [
             StructField("id_a", LongType()),
             StructField("id_b", LongType()),
-            StructField("cos", DoubleType()),
         ]
     )
+    # BLAS slack: double-precision GEMM cosines are within ~1e-12 of the
+    # exact fold; 1e-6 is orders of magnitude more than enough to never
+    # drop a true >= threshold pair before the exact verify.
+    slack = 1e-6
 
     def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ga, gb = key
+        ga, gb = key[-2], key[-1]
         mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
         blks = pdf["blk"].to_numpy()
@@ -137,13 +169,60 @@ def cosine_dup_pairs(
             id_a = np.repeat(ids[am], bm.sum())
             id_b = np.tile(ids[bm], am.sum())
             cs = sims.ravel()
-        cs = np.round(cs, 4)
-        keep = cs >= threshold
+        keep = cs >= threshold - slack
         lo = np.minimum(id_a, id_b)[keep]
         hi = np.maximum(id_a, id_b)[keep]
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cs[keep]})
+        if not witness_only:
+            return pd.DataFrame({"id_a": lo, "id_b": hi})
+        cs = cs[keep]
+        certain = cs >= threshold + slack
+        out = pd.DataFrame({"id_a": lo, "id_b": hi})
+        # one certain witness per id_b + every boundary-band pair
+        wit = (
+            out[certain].groupby("id_b", as_index=False)["id_a"].min()
+            [["id_a", "id_b"]]
+        )
+        return pd.concat([wit, out[~certain]], ignore_index=True)
 
-    return expl.groupBy("ga", "gb").applyInPandas(gemm, out_schema)
+    return expl.groupBy(*gcols, "ga", "gb").applyInPandas(gemm, out_schema)
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding", n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_bp ≥ bp).
+
+    Exact all-pairs baseline as a *distributed blocked GEMM*: vectors are
+    hashed into ``n_blocks`` blocks, every unordered block pair (a ≤ b)
+    becomes one ``applyInPandas`` group, and each group computes its
+    similarity tile with one numpy matmul — Arrow-batched, no driver
+    collect, no per-pair lambda interpretation (Spark's zip_with/aggregate
+    higher-order funcs are interpreted, ~100× slower per pair). Each row is
+    replicated n_blocks times; tile count is n_blocks·(n_blocks+1)/2, so
+    parallelism scales quadratically in n_blocks while replication scales
+    linearly — the standard all-pairs trade. Scale path at 10^9 vectors:
+    LSH candidate generation + per-pair verify (``cosine_dup_pairs_lsh``).
+
+    The GEMM is a *candidate generator* with a small slack under the
+    threshold (BLAS reorders double summation, so its cosines are not
+    bit-reproducible); the survivors — a vanishing fraction of the pair
+    space — are re-scored with the sequential-fold cosine and emitted as
+    BIGINT basis points, so the final pair set and scores are exact and
+    engine-portable.
+    """
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    cands = _gemm_candidate_pairs(v, threshold, n_blocks)
+    bp = int(round(threshold * 10_000))
+    va = vectors.select(F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", _cos_bp("va", "vb").alias("cos_bp"))
+        .filter(F.col("cos_bp") >= bp)
+    )
 
 
 def cosine_dup_pairs_lsh(
@@ -170,8 +249,8 @@ def cosine_dup_pairs_lsh(
     vb2 = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         cands.join(va, "id_a").join(vb2, "id_b")
-        .select("id_a", "id_b", F.round(_cosine("va", "vb"), 4).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", _cos_bp("va", "vb").alias("cos_bp"))
+        .filter(F.col("cos_bp") >= int(round(threshold * 10_000)))
     )
 
 
@@ -202,7 +281,7 @@ def ivf_topk(
         """nearest-`keep` centroids per row via broadcast join + rank."""
         scored = df.join(F.broadcast(cents)).select(
             F.col(idc), F.col(vc),
-            F.col("cent_id"), F.round(_cosine(vc, "cent_vec"), 6).alias("csim"),
+            F.col("cent_id"), _cos_bp(vc, "cent_vec", 1_000_000).alias("csim"),
         )
         w = Window.partitionBy(idc).orderBy(F.col("csim").desc(), F.col("cent_id").asc())
         return (
@@ -223,13 +302,13 @@ def ivf_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.select(
-        "query_id", "neighbor_id", F.round(_cosine("v_vec", "q_vec"), 4).alias("cos")
+        "query_id", "neighbor_id", _cos_bp("v_vec", "q_vec").alias("cos_bp")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_bp").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
+        .select("query_id", "neighbor_id", "rank", "cos_bp")
     )
 
 
@@ -265,19 +344,19 @@ def lsh_topk(
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     scored = cands.join(v, "neighbor_id").join(F.broadcast(q), "query_id").select(
-        "query_id", "neighbor_id", F.round(_cosine("v_vec", "q_vec"), 4).alias("cos")
+        "query_id", "neighbor_id", _cos_bp("v_vec", "q_vec").alias("cos_bp")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_bp").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
+        .select("query_id", "neighbor_id", "rank", "cos_bp")
     )
 
 def semantic_dedup(
     vectors: DataFrame, n_centroids: int = 8, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | None = None, n_sub_blocks: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
@@ -294,12 +373,15 @@ def semantic_dedup(
     example; lowest-id is the deterministic, oracle-replayable choice).
 
     Scale shape: assignment is a broadcast join + per-id window (one
-    shuffle on the id); the pair search joins the cluster-keyed table
-    with itself on cent_id — cluster sizes are ~n/k by construction
-    (production picks k ∝ n so clusters stay bounded; salt oversized
-    clusters exactly like the minhash band join if a degenerate embedding
-    collapses the space). Output keeps one row per vector with its
-    cluster and keep flag.
+    shuffle on the id); the pair search runs the blocked-GEMM tiler
+    *within* each cluster (``_gemm_candidate_pairs`` grouped by
+    cent_id), so a degenerate cluster — every embedding identical, one
+    cluster holding the corpus — still fans out into
+    n_sub_blocks·(n_sub_blocks+1)/2 bounded tiles instead of one
+    quadratic task: the same skew guard the minhash band join has.
+    GEMM survivors are re-verified with the exact sequential-fold
+    cosine, so the keep set is bit-identical to the unsalted join.
+    Output keeps one row per vector with its cluster and keep flag.
     """
     from pyspark.sql import Window
 
@@ -309,10 +391,10 @@ def semantic_dedup(
     )
     scored = vectors.join(F.broadcast(cents)).select(
         F.col(id_col), F.col(vec_col), F.col("cent_id"),
-        F.round(_cosine(vec_col, "cent_vec"), 6).alias("csim"),
+        _cos_bp(vec_col, "cent_vec", 1_000_000).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id").asc())
-    # persisted: consumed three times (both pair-join branches + the final
+    # persisted: consumed three times (pair tiler + verify join + the final
     # keep-flag join) — without it Spark recomputes the assignment per branch
     from pyspark.storagelevel import StorageLevel
 
@@ -322,12 +404,20 @@ def semantic_dedup(
         .drop("_r", "csim")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = inv.select(F.col("cent_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = inv.select(F.col("cent_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cands = _gemm_candidate_pairs(
+        inv.select(
+            F.col("cent_id"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"),
+        ),
+        threshold, n_sub_blocks, group_cols=("cent_id",), witness_only=True,
+    )
+    va = inv.select(F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("va"))
+    vb = inv.select(F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("vb"))
+    bp = int(round(threshold * 10_000))
     dups = (
-        a.join(b, "cent_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(_cosine("va", "vb"), 4) >= threshold)
+        cands.join(va, "id_a").join(vb, "id_b")
+        .filter(_cos_bp("va", "vb") >= bp)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
@@ -383,8 +473,19 @@ def kmeans_lloyd(
             f"cast(floor((cast(x as double) + {offset}) * {scale}) as bigint))"
         ).alias("qv"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    dims = len(qv.first()["qv"])
+    # edge guards: empty input returns an empty typed frame; fewer rows
+    # than k clamps k to the available centroid count (otherwise the
+    # empty-cluster fallback would index past the collected list)
+    first = qv.select("qv").head(1)
+    if not first:
+        out = vectors.sparkSession.createDataFrame(
+            [], f"{id_col} {dict(vectors.dtypes)[id_col]}, cluster int, dist bigint"
+        )
+        out._kmeans_centroids = []  # type: ignore[attr-defined]
+        return out
+    dims = len(first[0]["qv"])
     cents = [list(r["qv"]) for r in qv.orderBy(F.col(id_col).asc()).limit(k).collect()]
+    k = len(cents)
 
     def _assign(df):
         structs = []

@@ -28,7 +28,7 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(description="freshness: URLs due for refresh")
     ap.add_argument("--state", required=True, help="crawl state directory")
-    ap.add_argument("--base-interval", type=float, default=86400.0,
+    ap.add_argument("--base-interval", type=int, default=86400,
                     help="base revisit interval in seconds (default 1 day)")
     ap.add_argument("--as-of", default=None,
                     help="ISO timestamp to evaluate dueness at (default: now)")

@@ -21,12 +21,15 @@ TABLES = [
 
 
 def _norm_cell(v):
+    # EXACT comparison — floats are compared bit-for-bit via repr (the
+    # driver hashes full-precision values; rounding here would let the
+    # repo claim green on queries the driver records as hash-fails).
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 4)
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()[:19]
     if isinstance(v, bool):

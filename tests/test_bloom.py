@@ -131,3 +131,97 @@ def test_crawl_bloom_resume_keeps_seen_consistent(spark, corpus, tmp_path):
     ).run()
     got = {r["url_hash"] for r in res.seen.select("url_hash").collect()}
     assert got == expected
+
+
+def test_bloom_enabled_mid_crawl_rebuilds_sidecar(spark, corpus, tmp_path):
+    """Enable --bloom when resuming a state crawled WITHOUT it: the
+    resume must rebuild the sidecar from the full seen table (the
+    manifest records no bloom coverage), or Bloom false negatives would
+    re-admit pre-enable seen URLs. Final seen set must equal an
+    uninterrupted plain crawl's, and the rebuilt sidecar must cover
+    every pre-resume seen hash (zero 'definitely new' among them)."""
+    import json
+    from dataclasses import replace
+
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.fixtures.gen import write_parquet
+    from crawler_spark.plans.crawl import SparkCrawler
+    from crawler_spark.state.bloom import bloom_classify
+
+    rows, cfg = corpus
+    pages_path = str(tmp_path / "pages.parquet")
+    write_parquet(rows, pages_path)
+    base = CrawlConfig(
+        seed_urls=tuple(cfg["seed_urls"]),
+        sitemap_urls=tuple(cfg["sitemap_urls"]),
+        crawl_rules=cfg["crawl_rules"],
+    )
+    pages = spark.read.parquet(pages_path)
+    full = SparkCrawler(
+        spark, base, pages, str(tmp_path / "state_full"), max_waves=30
+    ).run()
+    expected = {r["url_hash"] for r in full.seen.select("url_hash").collect()}
+
+    # 2 plain waves, then resume with bloom ON (params never persisted)
+    state = str(tmp_path / "state_switch")
+    SparkCrawler(spark, base, pages, state, max_waves=2).run()
+    pre = spark.read.parquet(os.path.join(state, "seen", "wave=*")) \
+        .select("url_hash")
+    pre_hashes = {r["url_hash"] for r in pre.collect()}
+    bcfg = replace(base, seen_bloom_enabled=True, seen_bloom_buckets=8,
+                   seen_bloom_bits=1 << 16)
+    res = SparkCrawler(
+        spark, bcfg, pages, state, max_waves=30, resume=True
+    ).run()
+    got = {r["url_hash"] for r in res.seen.select("url_hash").collect()}
+    assert got == expected
+
+    # coverage proof: every pre-enable hash probes 'maybe seen'
+    sidecar = res.store.read("seen_bloom")
+    probe = bloom_classify(
+        spark.createDataFrame([(h,) for h in sorted(pre_hashes)],
+                              "url_hash string"),
+        sidecar, num_buckets=8, nbits=1 << 16,
+    )
+    assert probe.filter(~F.col("_maybe_seen")).count() == 0
+    # and the manifest now records the coverage params
+    with open(os.path.join(state, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["bloom"] == {"buckets": 8, "bits": 1 << 16}
+
+
+def test_bloom_param_change_on_resume_rebuilds(spark, corpus, tmp_path):
+    """Changing seen_bloom_buckets/bits between runs must invalidate the
+    persisted sidecar (positions are param-dependent): the resume
+    rebuilds with the new params and the seen set stays exact."""
+    from dataclasses import replace
+
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.fixtures.gen import write_parquet
+    from crawler_spark.plans.crawl import SparkCrawler
+
+    rows, cfg = corpus
+    pages_path = str(tmp_path / "pages.parquet")
+    write_parquet(rows, pages_path)
+    base = CrawlConfig(
+        seed_urls=tuple(cfg["seed_urls"]),
+        sitemap_urls=tuple(cfg["sitemap_urls"]),
+        crawl_rules=cfg["crawl_rules"],
+    )
+    pages = spark.read.parquet(pages_path)
+    full = SparkCrawler(
+        spark, base, pages, str(tmp_path / "state_full2"), max_waves=30
+    ).run()
+    expected = {r["url_hash"] for r in full.seen.select("url_hash").collect()}
+
+    state = str(tmp_path / "state_params")
+    b1 = replace(base, seen_bloom_enabled=True, seen_bloom_buckets=4,
+                 seen_bloom_bits=1 << 14)
+    SparkCrawler(spark, b1, pages, state, max_waves=2).run()
+    b2 = replace(base, seen_bloom_enabled=True, seen_bloom_buckets=8,
+                 seen_bloom_bits=1 << 16)
+    res = SparkCrawler(
+        spark, b2, pages, state, max_waves=30, resume=True
+    ).run()
+    got = {r["url_hash"] for r in res.seen.select("url_hash").collect()}
+    assert got == expected

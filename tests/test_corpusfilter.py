@@ -293,11 +293,14 @@ def test_corpus_mix_sqrt_weights(spark):
     assert out[("web", "en")].n_docs == 2
     assert out[("web", "en")].n_tokens == 5
     assert out[("web", "de")].src_docs == 3  # source rollup spans langs
+    # integer fixed-point: isqrt_fp(3)=17320, isqrt_fp(1)=10000, total=27320
+    assert out[("web", "en")].src_weight_bp == 17320 * 10000 // 27320  # 6339
+    assert out[("books", "en")].src_weight_bp == 10000 * 10000 // 27320  # 3660
+    # sanity vs the float definition (within 1 bp of truncation)
     total = math.sqrt(3) + math.sqrt(1)
-    assert abs(out[("web", "en")].src_weight_sqrt - math.sqrt(3) / total) < 1e-3
-    assert abs(out[("books", "en")].src_weight_sqrt - 1 / total) < 1e-3
+    assert abs(out[("web", "en")].src_weight_bp / 10000 - math.sqrt(3) / total) < 2e-4
     # weights are per source: both web rows carry the same weight
-    assert out[("web", "en")].src_weight_sqrt == out[("web", "de")].src_weight_sqrt
+    assert out[("web", "en")].src_weight_bp == out[("web", "de")].src_weight_bp
 
 
 def test_host_quality_filter_prunes_whole_domains(spark):

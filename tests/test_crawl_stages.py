@@ -449,14 +449,14 @@ def test_revisit_schedule_change_rates(spark):
         ("u/once", t(0), "z"),
     ]
     df = spark.createDataFrame(rows, "url string, warc_ts timestamp, fp string")
-    out = {r.url: r for r in revisit_schedule(df, base_interval_s=100.0).collect()}
+    out = {r.url: r for r in revisit_schedule(df, base_interval_s=100).collect()}
 
     assert set(out) == {"u/static", "u/churn", "u/half"}
-    assert out["u/static"].change_rate == 0.0
-    assert out["u/static"].interval_s == 1000.0  # 100 / 0.1
-    assert out["u/churn"].change_rate == 1.0
-    assert abs(out["u/churn"].interval_s - 100 / 1.1) < 0.01
-    assert out["u/half"].change_rate == 0.5
+    assert out["u/static"].change_rate_bp == 0
+    assert out["u/static"].interval_s == 1000  # 100*10000 DIV 1000
+    assert out["u/churn"].change_rate_bp == 10000
+    assert out["u/churn"].interval_s == 90  # 100*10000 DIV 11000
+    assert out["u/half"].change_rate_bp == 5000
     assert out["u/half"].n_obs == 3 and out["u/half"].n_changes == 1
     assert out["u/half"].last_seen == t(20)
 
@@ -532,12 +532,12 @@ def test_due_for_revisit_from_parsed_history(spark):
         rows, "url_hash string, norm_url string, warc_ts timestamp, "
               "body string, kind string")
 
-    base = 100.0  # static interval -> 1000s, churner -> ~91s
+    base = 100  # static interval -> 1000s, churner -> 90s
     near = EPOCH + dt.timedelta(seconds=600)
     due_near = {r.url_hash: r for r in
                 due_for_revisit(parsed, base_interval_s=base, as_of=near).collect()}
     assert set(due_near) == {"h2"}  # churner due, static not
-    assert due_near["h2"].change_rate == 1.0
+    assert due_near["h2"].change_rate_bp == 10000
     assert due_near["h2"].norm_url == f"{HOST}/churn"
 
     far = EPOCH + dt.timedelta(seconds=5000)
@@ -574,7 +574,7 @@ def test_refresh_due_job_on_real_state(spark, tmp_path, capsys):
     due = spark.read.parquet(out)
     assert {r.norm_url for r in due.collect()} == {f"{HOST}/", f"{HOST}/a"}
     # static pages (no change between the two crawls) got the 10x interval
-    assert all(r.change_rate == 0.0 and r.interval_s == 1000.0
+    assert all(r.change_rate_bp == 0 and r.interval_s == 1000
                for r in due.collect())
 
     rc = job.main(["--state", state, "--base-interval", "100000000",

@@ -69,7 +69,7 @@ def site_url():
 def test_live_crawl_end_to_end(spark, tmp_path, site_url):
     cfg = CrawlConfig(
         seed_urls=(f"{site_url}/",),
-        fetch_mode="live",
+        fetch_mode="live", loopback_allowed=True,
         purge_crawl_enabled=False,
     )
     res = SparkCrawler(
@@ -116,7 +116,7 @@ def test_live_crawl_politeness_quota_waves(spark, tmp_path, site_url):
     cfg = CrawlConfig(
         seed_urls=(f"{site_url}/",),
         sitemap_discovery_disabled=True,
-        fetch_mode="live",
+        fetch_mode="live", loopback_allowed=True,
         purge_crawl_enabled=False,
         politeness_window_s=1.0,
         default_crawl_delay_s=1.0,
@@ -178,7 +178,7 @@ def test_live_head_preflight_skips_binary_download(spark, tmp_path):
     try:
         cfg = CrawlConfig(
             seed_urls=(f"{base}/",),
-            fetch_mode="live",
+            fetch_mode="live", loopback_allowed=True,
             head_requests_enabled=True,
             purge_crawl_enabled=False,
         )
@@ -335,14 +335,14 @@ def test_live_crawl_basic_auth_domain(spark, tmp_path):
     try:
         base = f"http://127.0.0.1:{server.server_address[1]}"
         cfg_noauth = CrawlConfig(
-            seed_urls=(f"{base}/",), fetch_mode="live",
+            seed_urls=(f"{base}/",), fetch_mode="live", loopback_allowed=True,
             purge_crawl_enabled=False, lineage_enabled=False)
         res = SparkCrawler(spark, cfg_noauth, None,
                            str(tmp_path / "s1"), max_waves=3).run()
         assert res.docs.count() == 0  # 401 everywhere -> no docs
 
         cfg_auth = CrawlConfig(
-            seed_urls=(f"{base}/",), fetch_mode="live",
+            seed_urls=(f"{base}/",), fetch_mode="live", loopback_allowed=True,
             purge_crawl_enabled=False, lineage_enabled=False,
             domain_auth=({"domain": base, "type": "basic",
                           "username": "crawler", "password": "secret"},))
@@ -464,7 +464,7 @@ def test_live_crawl_warc_archive_no_double_fetch(spark, tmp_path, site_url):
     try:
         warc_dir = str(tmp_path / "archive")
         cfg = CrawlConfig(
-            seed_urls=(f"{site_url}/",), fetch_mode="live",
+            seed_urls=(f"{site_url}/",), fetch_mode="live", loopback_allowed=True,
             purge_crawl_enabled=False, lineage_enabled=False,
             warc_export_dir=warc_dir)
         res = SparkCrawler(spark, cfg, None, str(tmp_path / "st"),
@@ -634,7 +634,7 @@ def test_conditional_revalidation_304_recrawl(spark, tmp_path):
     try:
         base = f"http://127.0.0.1:{server.server_address[1]}"
         state = str(tmp_path / "st")
-        cfg = CrawlConfig(seed_urls=(f"{base}/",), fetch_mode="live",
+        cfg = CrawlConfig(seed_urls=(f"{base}/",), fetch_mode="live", loopback_allowed=True,
                           lineage_enabled=False)
         res1 = SparkCrawler(spark, cfg, None, state, max_waves=4).run()
         docs1 = {r.url: r.body for r in res1.docs.select("url", "body").collect()}
@@ -715,7 +715,7 @@ def test_live_crawl_honors_robots_crawl_delay(spark, tmp_path):
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
         base = f"http://127.0.0.1:{server.server_address[1]}"
-        cfg = CrawlConfig(seed_urls=(f"{base}/",), fetch_mode="live",
+        cfg = CrawlConfig(seed_urls=(f"{base}/",), fetch_mode="live", loopback_allowed=True,
                           purge_crawl_enabled=False, lineage_enabled=False,
                           default_crawl_delay_s=0.0)
         SparkCrawler(spark, cfg, None, str(tmp_path / "st"), max_waves=3).run()
@@ -795,7 +795,7 @@ def test_live_robots_dimension_mode(spark, tmp_path, site_url):
 
     cfg = CrawlConfig(
         seed_urls=(f"{site_url}/",),
-        fetch_mode="live",
+        fetch_mode="live", loopback_allowed=True,
         purge_crawl_enabled=False,
     )
     cfg = replace(cfg, robots_dimension_threshold=1)  # force the dimension
@@ -805,3 +805,88 @@ def test_live_robots_dimension_mode(spark, tmp_path, site_url):
     denied = {r["norm_url"]: r["deny_reason"]
               for r in res.lineage.filter("deny_reason is not null").collect()}
     assert denied.get(f"{site_url}/private/x") == "robots_txt_disallowed"
+
+
+def test_ssrf_address_classification():
+    """allowed_address mirrors filtering_dns_resolver.rb:83-97: loopback
+    gated by loopback_allowed; RFC1918 / link-local / wildcard gated by
+    private_networks_allowed; public addresses always pass."""
+    import ipaddress
+
+    from crawler_spark.operators.fetch_live import address_allowed
+
+    ip = ipaddress.ip_address
+    # defaults: everything non-public denied
+    for bad in ("127.0.0.1", "::1", "10.0.0.8", "172.16.1.1", "172.31.255.1",
+                "192.168.0.42", "169.254.169.254", "0.0.0.0", "fe80::1",
+                "fec0::1"):
+        assert not address_allowed(ip(bad)), bad
+    for ok in ("93.184.216.34", "8.8.8.8", "2606:2800:220:1:248:1893:25c8:1946"):
+        assert address_allowed(ip(ok)), ok
+    # loopback flag frees loopback only
+    assert address_allowed(ip("127.0.0.1"), loopback_allowed=True)
+    assert not address_allowed(ip("10.0.0.8"), loopback_allowed=True)
+    # private flag frees site/link/wildcard-local only
+    assert address_allowed(ip("10.0.0.8"), private_networks_allowed=True)
+    assert address_allowed(ip("169.254.169.254"), private_networks_allowed=True)
+    assert not address_allowed(ip("127.0.0.1"), private_networks_allowed=True)
+    # 172.32.x is OUTSIDE the /12 block — public
+    assert address_allowed(ip("172.32.0.1"))
+
+
+def test_ssrf_host_resolution_guard():
+    from crawler_spark.operators.fetch_live import host_resolution_allowed
+
+    assert not host_resolution_allowed("127.0.0.1")
+    assert host_resolution_allowed("127.0.0.1", loopback_allowed=True)
+    assert not host_resolution_allowed("localhost")
+    assert not host_resolution_allowed("169.254.169.254")
+    assert host_resolution_allowed(
+        "169.254.169.254", private_networks_allowed=True)
+    # unresolvable: the guard defers to the fetch's own DNS error
+    assert host_resolution_allowed("definitely-not-a-real-host.invalid")
+
+
+def test_ssrf_guard_denies_before_connecting():
+    """The guard must short-circuit BEFORE any connection: a private-IP
+    fetch with a long timeout returns the 599 marker immediately instead
+    of hanging until the transport gives up."""
+    import time
+
+    from crawler_spark.operators.fetch_live import http_fetch_one
+
+    t0 = time.monotonic()
+    body, etag, lm = http_fetch_one(
+        "http://10.255.255.1/latest/meta-data", timeout_s=30.0,
+        loopback_allowed=False, private_networks_allowed=False,
+    )
+    assert body == b"<!--STATUS:599-->"
+    assert etag is None and lm is None
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_ssrf_live_crawl_denies_private_seed(spark, tmp_path, site_url):
+    """E2E: loopback allowed (the test site works) but private networks
+    NOT allowed -> a link-local metadata-service host is never contacted:
+    its robots.txt fetch is guard-refused (the 599 Error marker), which
+    the engine's 5xx-robots rule escalates to disallow-all, so the URL
+    dies in the gate with a deny_reason and no document — the same
+    never-touch-the-network outcome as the reference's InvalidHost."""
+    meta = "http://169.254.169.254/latest/meta-data"
+    cfg = CrawlConfig(
+        seed_urls=(f"{site_url}/", meta),
+        fetch_mode="live", loopback_allowed=True,
+        purge_crawl_enabled=False,
+    )
+    res = SparkCrawler(spark, cfg, None, str(tmp_path / "st"), max_waves=3).run()
+    # the real site still crawls
+    assert f"{site_url}/" in {r["url"] for r in res.docs.collect()}
+    # the private URL is denied, produced nothing, and was never fetched
+    denied = {r["norm_url"]: r["deny_reason"]
+              for r in res.lineage.filter("deny_reason is not null").collect()}
+    assert denied[meta] == "robots_txt_disallowed"
+    assert not any("169.254" in r["url"] for r in res.docs.collect())
+    assert not any(
+        "169.254" in (r["url"] or "")
+        for r in res.events.filter("action = 'url-extracted'").collect()
+    )

@@ -171,13 +171,19 @@ def test_dsir_weights_broadcast_weight_join(spark, entry_queries):
 
 def test_semantic_dedup_shares_assignment_and_no_global_sort(spark, entry_queries):
     """The cluster assignment is computed once (persisted — consumed by
-    both pair-join branches and the keep-flag join) and the pair search is
-    cluster-keyed: no cartesian product, no rangepartitioning."""
+    the GEMM tiler, the verify joins and the keep-flag join) and the pair
+    search is cluster-keyed AND sub-blocked (the degenerate-cluster skew
+    guard): no cartesian product, no rangepartitioning, and the tiled
+    applyInPandas stage is present. The tiler + the two exact-verify
+    joins + the keep-flag join bound the exchanges at 8 (was 5 before
+    the skew guard — the three extra exchanges move tiny candidate-pair
+    rows, the price of never building one quadratic task)."""
     plan = _formatted_plan(entry_queries["semantic_dedup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan.lower()
     assert "InMemoryTableScan" in plan      # shared assignment subtree
-    assert plan.count("hashpartitioning(") <= 5
+    assert "FlatMapGroupsInPandas" in plan  # tiled GEMM candidate stage
+    assert plan.count("hashpartitioning(") <= 8
 
 
 def test_c4_and_gopher_are_shuffle_free(spark, entry_queries):

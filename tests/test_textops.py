@@ -75,10 +75,10 @@ def test_cosine_dup_pairs_matches_naive(spark, emb):
     from crawler_spark.textops.similarity import cosine_dup_pairs
 
     got = {
-        (r.id_a, r.id_b): r.cos
+        (r.id_a, r.id_b): r.cos_bp
         for r in cosine_dup_pairs(emb, threshold=0.45, n_blocks=4).collect()
     }
-    # naive reference in python
+    # naive reference in python — same sequential-fold + fixed-point rule
     vecs = {r.vec_id: r.embedding for r in emb.collect()}
     ids = sorted(vecs)
     want = {}
@@ -88,12 +88,14 @@ def test_cosine_dup_pairs_matches_naive(spark, emb):
         for b in ids[i + 1:]:
             vb = vecs[b]
             nb = math.sqrt(sum(x * x for x in vb))
-            cos = round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 4)
-            if cos >= 0.45:
-                want[(a, b)] = cos
+            cos_bp = math.floor(
+                sum(x * y for x, y in zip(va, vb)) / (na * nb) * 10_000 + 0.5
+            )
+            if cos_bp >= 4500:
+                want[(a, b)] = cos_bp
     assert set(got) == set(want)
     for k in want:
-        assert abs(got[k] - want[k]) < 2e-4
+        assert abs(got[k] - want[k]) <= 1
 
 
 def test_cosine_dup_pairs_lsh_subset(spark, emb):
@@ -473,6 +475,39 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     assert out[3]["cent_id"] == 1 and out[4]["cent_id"] == 2
     assert out[6]["cent_id"] == 1 and out[7]["cent_id"] == 2
     assert out[6]["keep"] and out[7]["keep"]
+
+
+def test_semantic_dedup_degenerate_cluster_no_quadratic_blowup(spark):
+    """1,000 identical embeddings collapse the space into ONE cluster; the
+    tiled witness-mode pair search must (a) still collapse them to the
+    lowest id exactly, and (b) emit ~linear candidates, never the ~500k
+    all-pairs rows (the semantic analog of the minhash mega-bucket cap)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.textops.similarity import (
+        _gemm_candidate_pairs,
+        semantic_dedup,
+    )
+
+    rows = [(i, [0.6, 0.8, 0.0]) for i in range(1000)]
+    rows += [(10_000, [1.0, 0.0, 0.0]), (10_001, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, n_centroids=2, threshold=0.99).collect()}
+    assert len(out) == 1002
+    kept = {v for v, r in out.items() if r["keep"]}
+    assert 0 in kept and not any(i in kept for i in range(1, 1000))
+
+    # linear candidate bound: each id contributes at most n_blocks witness
+    # rows (one per tile) — nowhere near the 999*1000/2 all-pairs count
+    n_blocks = 8
+    cands = _gemm_candidate_pairs(
+        df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        0.99, n_blocks, witness_only=True,
+    ).count()
+    assert cands <= 1002 * n_blocks
+    assert cands < 50_000  # vs ~500k unsalted
 
 
 def test_incremental_dedup_flags_cross_snapshot_near_dups(spark):
