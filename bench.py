@@ -29,6 +29,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # every queries() entry is benched (a regression in any of the 67 is
+    # visible round-over-round); the warm-up prelude below pins session
+    # cold-start out of the first timed query, and the list order is
+    # fixed so suite-ordering JIT noise stays comparable across rounds
     "pricing_summary",
     "seen_antijoin",
     "fetch_join",
@@ -75,13 +79,45 @@ HEADLINE = [
     "kmeans_clusters",
     "unicode_clean",
     "crawl_diff",
+    "budget_cap",
+    "chunk_dedup_clean",
+    "cosine_dups",
+    "dedup_keep_best",
+    "deny_stats",
+    "dup_clusters",
+    "event_percentiles",
+    "host_components",
+    "ivf_ann_topk",
+    "lsh_ann_topk",
+    "mm_frame_sample",
+    "ngram_jaccard",
+    "purge_antijoin",
+    "sessionize_hourly",
+    "simhash_hamming",
+    "status_stats",
+    "top25_sorted",
+    "url_blocklist",
+    "url_components",
+    "url_word_score",
+    "winnow_fingerprint",
 ]
+
+
+def _assert_full_coverage(qs: dict) -> None:
+    missing = sorted(set(qs) - set(HEADLINE))
+    extra = sorted(set(HEADLINE) - set(qs))
+    if missing or extra:
+        raise SystemExit(
+            f"bench.py HEADLINE out of sync with queries(): "
+            f"missing={missing} extra={extra}"
+        )
 
 
 def bench_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    _assert_full_coverage(qs)
     # warm-up: python-worker spawn + codegen JIT + parquet footer cache,
     # so the first timed query measures the engine, not session cold-start
     spark.range(1_000_000).selectExpr("sum(id)").collect()

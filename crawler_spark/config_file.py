@@ -9,19 +9,34 @@ top-level scalars map by name (``max_duration`` seconds →
 ``max_duration_s``). Ruby-style numeric literals with underscores
 (``5_242_880``, YAML-parsed as strings) coerce to int.
 
-Keys with no offline-engine equivalent (elasticsearch credentials, HTTP
-timeouts/proxies, logging, threads_per_crawl) are returned in the
-``extras`` dict rather than silently dropped, so callers can act on
-``output_sink``/``output_dir``/``schedule``.
+Compatibility contract (the full table lives in COVERAGE.md): every one
+of the reference's ``Crawler::API::Config::CONFIG_FIELDS``
+(api/config.rb:36-110) is classified here as MAPPED (drives this
+engine), ACTIONED (returned in ``extras`` and consumed by a job/sink:
+``output_sink``/``output_dir``/``output_index``/``schedule``/
+``elasticsearch``), or IGNORED (no analog in a Spark engine — e.g.
+``threads_per_crawl`` is the cluster's executor count, logging knobs are
+log4j's). Ignored keys present in a config file raise a
+``ConfigCompatWarning`` naming each one, so a reference user migrating
+their crawler.yml learns exactly which knobs will not take effect —
+nothing is silently dropped (ignored keys are still returned in
+``extras``). Unknown keys (typos, not reference fields at all) warn
+separately.
 """
 
 from __future__ import annotations
 
 import json
 import re
+import warnings
 
 from .config import CrawlConfig
 from .functions.urlnorm import normalize_url, url_site
+
+
+class ConfigCompatWarning(UserWarning):
+    """A crawler.yml key was recognized as a reference config field that
+    this engine does not act on (see COVERAGE.md for the full table)."""
 
 # top-level crawler.yml keys that map 1:1 onto CrawlConfig fields
 _DIRECT_KEYS = (
@@ -58,7 +73,62 @@ _DIRECT_KEYS = (
     "frontier_priority_expr",
     "priority_dimension_path",
     "priority_dimension_key",
+    "crawl_id",
+    "max_elastic_tag_size",
+    "max_data_attribute_size",
+    "loopback_allowed",
+    "private_networks_allowed",
 )
+
+# reference fields returned in ``extras`` AND consumed by a job or sink
+# in this repo (jobs/schedule_crawl.py, sources/sinks.py, sources/es_bulk.py)
+_ACTIONED_EXTRAS = frozenset({
+    "output_sink", "output_dir", "output_index", "schedule", "elasticsearch",
+})
+
+# reference CONFIG_FIELDS with no analog in a Spark engine; the value in
+# the map is the one-line reason surfaced in COVERAGE.md's compat table
+_IGNORED_FIELDS = {
+    "log_level": "logging is Spark log4j / driver config, not crawl config",
+    "log_file_directory": "logging is Spark log4j / driver config",
+    "log_file_rotation_policy": "logging is Spark log4j / driver config",
+    "system_logs_to_file": "logging is Spark log4j / driver config",
+    "event_logs_to_file": "the event stream is a state table (C5), always on with lineage",
+    "crawl_stage": "stage naming is internal to the two-stage plan (primary/purge)",
+    "robots_txt_service": "robots fetch/registry is built into the crawl plan (S2)",
+    "results_collection": "mock-sink injection point; use sources/sinks.py MockSink",
+    "stats_dump_interval": "per-wave metrics land in the state manifest instead",
+    "http_header_service": "per-domain headers come from domains[].auth (domain_auth)",
+    "auth": "top-level auth unused by the reference CLI too; use domains[].auth",
+    "url_queue": "the frontier IS the queue (a state table); no pluggable impl",
+    "threads_per_crawl": "parallelism is the cluster's executor/core count",
+    "connect_timeout": "single request_timeout covers the whole request (urllib)",
+    "socket_timeout": "single request_timeout covers the whole request (urllib)",
+    "compression_enabled": "urllib negotiates gzip transparently",
+    "sink_lock_retry_interval": "no network ES sink (offline _bulk export only)",
+    "sink_lock_max_retries": "no network ES sink (offline _bulk export only)",
+}
+
+# every reference CONFIG_FIELDS name (api/config.rb:36-110); used to
+# distinguish "reference knob we ignore" from "unknown key / typo"
+_REFERENCE_FIELDS = frozenset(_IGNORED_FIELDS) | _ACTIONED_EXTRAS | frozenset({
+    "crawl_id", "domains", "domain_allowlist", "seed_urls", "sitemap_urls",
+    "crawl_rules", "extraction_rules", "exclude_tags", "user_agent",
+    "purge_crawl_enabled", "full_html_extraction_enabled",
+    "http_auth_allowed", "loopback_allowed", "private_networks_allowed",
+    "ssl_ca_certificates", "ssl_verification_mode", "http_proxy_host",
+    "http_proxy_port", "http_proxy_protocol", "http_proxy_username",
+    "http_proxy_password", "url_queue_size_limit", "max_duration",
+    "max_crawl_depth", "max_unique_url_count", "max_url_length",
+    "max_url_segments", "max_url_params", "max_redirects",
+    "max_response_size", "request_timeout", "max_title_size",
+    "max_body_size", "max_keywords_size", "max_description_size",
+    "max_elastic_tag_size", "max_data_attribute_size",
+    "max_extracted_links_count", "max_indexed_links_count",
+    "max_headings_count", "binary_content_extraction_enabled",
+    "binary_content_extraction_mime_types", "default_encoding",
+    "sitemap_discovery_disabled", "head_requests_enabled",
+})
 
 _RUBY_INT_RE = re.compile(r"\A\d[\d_]*\Z")
 
@@ -82,6 +152,7 @@ def config_from_dict(doc: dict) -> tuple[CrawlConfig, dict]:
     allowlist: list[str] = []
     crawl_rules: dict = {}
     extraction_rules: dict = {}
+    exclude_tags: dict = {}
     domain_auth: list[dict] = []
     for dom in domains:
         dom = {str(k): v for k, v in dom.items()}
@@ -99,6 +170,11 @@ def config_from_dict(doc: dict) -> tuple[CrawlConfig, dict]:
         rulesets = dom.get("extraction_rulesets") or []
         if rulesets:
             extraction_rules[site] = rulesets
+        # per-domain exclude_tags, lowercased and keyed by site
+        # (api/config.rb:377-393 configure_exclude_tags!)
+        tags = dom.get("exclude_tags") or []
+        if tags:
+            exclude_tags[site] = [str(t).lower() for t in tags]
         auth = dom.get("auth")
         if auth:
             # per-domain Authorization (http_header_service.rb; matched on
@@ -117,11 +193,21 @@ def config_from_dict(doc: dict) -> tuple[CrawlConfig, dict]:
         kwargs["crawl_rules"] = crawl_rules
     if extraction_rules:
         kwargs["extraction_rules"] = extraction_rules
+    # top-level exclude_tags (site -> [tag]) merges under the per-domain
+    # entries, which win (the reference derives the top-level value FROM
+    # domains[].exclude_tags; a top-level dict is our programmatic form)
+    top_tags = doc.pop("exclude_tags", None) or {}
+    exclude_tags = {**{str(s): [str(t).lower() for t in ts]
+                       for s, ts in top_tags.items()}, **exclude_tags}
+    if exclude_tags:
+        kwargs["exclude_tags"] = exclude_tags
     if domain_auth:
         kwargs["domain_auth"] = tuple(domain_auth)
 
     if "max_duration" in doc:  # seconds in the reference (config.rb:96)
         kwargs["max_duration_s"] = float(_coerce(doc.pop("max_duration")))
+    if "request_timeout" in doc:  # seconds (config.rb:110)
+        kwargs["request_timeout_s"] = float(_coerce(doc.pop("request_timeout")))
     if "binary_content_extraction_mime_types" in doc:
         kwargs["binary_content_extraction_mime_types"] = tuple(
             doc.pop("binary_content_extraction_mime_types") or ()
@@ -135,6 +221,23 @@ def config_from_dict(doc: dict) -> tuple[CrawlConfig, dict]:
             kwargs[key] = _coerce(doc.pop(key))
 
     extras.update(doc)  # output_sink/output_dir/schedule/elasticsearch/...
+    ignored = sorted(k for k in doc if k in _IGNORED_FIELDS)
+    if ignored:
+        warnings.warn(
+            "crawler.yml keys accepted by the reference but not acted on "
+            "by this engine (see COVERAGE.md config-compat table): "
+            + ", ".join(f"{k} ({_IGNORED_FIELDS[k]})" for k in ignored),
+            ConfigCompatWarning,
+            stacklevel=2,
+        )
+    unknown = sorted(k for k in doc if k not in _REFERENCE_FIELDS)
+    if unknown:
+        warnings.warn(
+            f"unknown crawler.yml keys (not reference config fields): "
+            + ", ".join(unknown),
+            ConfigCompatWarning,
+            stacklevel=2,
+        )
     return CrawlConfig(**kwargs), extras
 
 

@@ -15,6 +15,14 @@ plain parquet with an explicit manifest:
 * the JSON manifest carries wave number, admission seq watermark, row
   counts and per-wave metrics — the "per-partition checkpoints with
   lineage + metrics" resume contract from the north rule.
+
+The executable migration map to the Iceberg layout — CREATE TABLE DDL
+with ``bucket(N, url_hash)``, the per-wave ``MERGE INTO`` statement,
+``rewrite_data_files``/``expire_snapshots`` calls, and the session confs
+enabling storage-partitioned joins — lives in ``state/iceberg.py``;
+``tests/test_iceberg_map.py`` proves the plan-shape claim (co-bucketed
+seen anti-join runs with zero Exchange operators) using Spark's built-in
+bucketed tables, which share the physical mechanism.
 """
 
 from __future__ import annotations

@@ -138,3 +138,83 @@ def test_example_config_parses_completely():
     assert cfg.url_queue_size_limit == 10000
     # only documented non-engine keys remain in extras
     assert set(extras) == {"output_sink"}
+
+
+def test_ignored_reference_knobs_warn_by_name():
+    """Every reference CONFIG_FIELD the engine does not act on must raise
+    a ConfigCompatWarning naming it (COVERAGE.md compat table) — a
+    migrating user learns exactly which crawler.yml knobs are inert.
+    Mapped knobs must NOT warn."""
+    import warnings as w
+
+    from crawler_spark.config_file import ConfigCompatWarning, config_from_dict
+
+    doc = {
+        "seed_urls": ["https://a.test/"],
+        "threads_per_crawl": 8,
+        "connect_timeout": 10,
+        "log_level": "debug",
+        "sink_lock_retry_interval": 1,
+    }
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        cfg, extras = config_from_dict(doc)
+    compat = [c for c in caught if issubclass(c.category, ConfigCompatWarning)]
+    assert len(compat) == 1
+    msg = str(compat[0].message)
+    for k in ("threads_per_crawl", "connect_timeout", "log_level",
+              "sink_lock_retry_interval"):
+        assert k in msg
+        assert k in extras  # still surfaced, never silently dropped
+    # a fully-mapped config is warning-free
+    with w.catch_warnings(record=True) as caught2:
+        w.simplefilter("always")
+        config_from_dict({
+            "seed_urls": ["https://a.test/"],
+            "max_crawl_depth": 3,
+            "loopback_allowed": True,
+            "private_networks_allowed": False,
+            "request_timeout": 30,
+        })
+    assert not [c for c in caught2
+                if issubclass(c.category, ConfigCompatWarning)]
+
+
+def test_unknown_keys_warn_separately():
+    import warnings as w
+
+    from crawler_spark.config_file import ConfigCompatWarning, config_from_dict
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        config_from_dict({"seed_urls": ["https://a.test/"],
+                          "max_crawl_depht": 3})  # typo
+    compat = [c for c in caught if issubclass(c.category, ConfigCompatWarning)]
+    assert len(compat) == 1 and "max_crawl_depht" in str(compat[0].message)
+    assert "unknown" in str(compat[0].message)
+
+
+def test_domain_exclude_tags_keyed_by_site():
+    from crawler_spark.config_file import config_from_dict
+
+    cfg, _ = config_from_dict({
+        "domains": [
+            {"url": "https://a.test", "exclude_tags": ["NAV", "Footer"]},
+            {"url": "https://b.test"},
+        ],
+    })
+    assert cfg.exclude_tags == {"https://a.test": ["nav", "footer"]}
+
+
+def test_request_timeout_and_dns_flags_map():
+    from crawler_spark.config_file import config_from_dict
+
+    cfg, _ = config_from_dict({
+        "seed_urls": ["https://a.test/"],
+        "request_timeout": "15",
+        "loopback_allowed": True,
+        "private_networks_allowed": True,
+    })
+    assert cfg.request_timeout_s == 15.0
+    assert cfg.loopback_allowed is True
+    assert cfg.private_networks_allowed is True
