@@ -72,21 +72,64 @@ def brute_force_topk(
     )
 
 
+def _band_sig_udf(bands: list):
+    """Arrow-batched signature kernel: all bands' sign signatures for a
+    batch of vectors in one pass. Vectorized ACROSS rows but strictly
+    left-to-right ACROSS dimensions (``acc = acc + v[:,d]*p[d]`` from
+    acc=0.0), so every dot product is bit-identical to the
+    ``aggregate(zip_with(...), 0.0, +)`` fold the DuckDB oracle replays
+    — exactness preserved, but one Arrow batch per task instead of
+    Catalyst interpreting 18 higher-order-function lambdas per row
+    (which made LSH bucketing the bench's slowest stage). A GEMM would
+    be faster still but reorders the summation, and sign(dot) near zero
+    must not depend on the engine."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    bands_arr = [np.asarray(b, dtype=np.float64) for b in bands]
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's inference rejects — SCALAR is the default
+    def sig_udf(vecs):
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        n, d = mat.shape
+        out = np.zeros((n, len(bands_arr)), dtype=np.int64)
+        for bi, planes in enumerate(bands_arr):
+            sig = np.zeros(n, dtype=np.int64)
+            for pi in range(planes.shape[0]):
+                p = planes[pi]
+                acc = np.zeros(n, dtype=np.float64)
+                for k in range(d):
+                    acc = acc + mat[:, k] * p[k]
+                sig |= (acc >= 0).astype(np.int64) << pi
+            out[:, bi] = sig
+        return pd.Series(list(out))
+
+    return F.pandas_udf(sig_udf, ArrayType(LongType()))
+
+
+def _band_buckets(df: DataFrame, bands: list, id_col: str, vec_col: str,
+                  out_id: str) -> DataFrame:
+    """(out_id, band, bucket) for every band in ONE scan of ``df`` —
+    the batched signature kernel computes every band's bucket at once
+    and posexplode fans them out, instead of re-scanning the vectors
+    once per band."""
+    sig = _band_sig_udf(bands)
+    return df.select(
+        F.col(id_col).alias(out_id), sig(F.col(vec_col)).alias("_sigs")
+    ).select(out_id, F.posexplode("_sigs").alias("band", "bucket"))
+
+
 def hyperplane_bucket(df: DataFrame, planes: list, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
     """Sign-signature bucket id from fixed random hyperplanes (list of
-    python float lists, broadcast as literals). bits = sign(v·p)."""
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        # dot product against the literal plane, JVM-side
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-        sig = sig + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    python float lists). bits = sign(v·p), via the batched kernel."""
+    sig = _band_sig_udf([planes])
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.try_element_at(sig(F.col(vec_col)), F.lit(1)).alias("bucket"),
+    )
 
 
 def _gemm_candidate_pairs(
@@ -237,14 +280,15 @@ def cosine_dup_pairs_lsh(
     positives cost only compute, never correctness; false negatives are the
     standard LSH recall trade documented per band count.
     """
-    cands = None
-    for bi, planes in enumerate(planes_bands):
-        vb = hyperplane_bucket(vectors, planes, id_col, vec_col)
-        a = vb.select(F.col(id_col).alias("id_a"), F.col("bucket"))
-        b = vb.select(F.col(id_col).alias("id_b"), F.col("bucket"))
-        c = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    sigs = _band_buckets(vectors, planes_bands, id_col, vec_col, "id")
+    a = sigs.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = sigs.select(F.col("id").alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb2 = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -328,19 +372,14 @@ def lsh_topk(
 
     if planes and isinstance(planes[0][0], (int, float)):
         planes = [planes]
-    cands = None
-    for band in planes:
-        vb = hyperplane_bucket(vectors, band, id_col, vec_col).select(
-            F.col(id_col).alias("neighbor_id"), F.col("bucket")
-        )
-        qb = hyperplane_bucket(queries, band, id_col, vec_col).select(
-            F.col(id_col).alias("query_id"), F.col("bucket")
-        )
-        c = vb.join(F.broadcast(qb), on="bucket").filter(
-            F.col("neighbor_id") != F.col("query_id")
-        ).select("query_id", "neighbor_id")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    vb = _band_buckets(vectors, planes, id_col, vec_col, "neighbor_id")
+    qb = _band_buckets(queries, planes, id_col, vec_col, "query_id")
+    cands = (
+        vb.join(F.broadcast(qb), on=["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     scored = cands.join(v, "neighbor_id").join(F.broadcast(q), "query_id").select(
