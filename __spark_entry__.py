@@ -739,6 +739,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return kmeans_lloyd(_t(spark, sf, "embeddings"), k=4, iters=2)
 
+    def cdc_chunks_q(spark, sf):
+        # content-defined chunking: shift-robust chunk fingerprints (CDC
+        # cut points move with the content, so shared boilerplate at
+        # different offsets still collides)
+        from crawler_spark.textops.dedup import cdc_chunks
+
+        return cdc_chunks(_t(spark, sf, "documents"))
+
+    def postings_q(spark, sf):
+        # inverted-index shard build: per-term df/cf + impact-ordered
+        # top-k postings (the batch twin of the reference's ES sink)
+        from crawler_spark.textops.ranking import postings_topk
+
+        return postings_topk(_t(spark, sf, "documents"), k=10)
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -807,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": crawl_diff_q,
         "host_components": host_components,
         "chunk_dedup_clean": chunk_clean,
+        "cdc_chunks": cdc_chunks_q,
+        "postings_topk": postings_q,
     }
 
 
@@ -2082,5 +2099,60 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
             SELECT u AS node, min(r) AS cluster FROM reach GROUP BY u
+        """,
+        "cdc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            x AS (
+              SELECT doc_id, ts,
+                     [CASE WHEN substr(md5(ts[CAST(i AS INT)]), 1, 1) = '0'
+                           THEN 1 ELSE 0 END
+                      for i in range(1, len(ts) + 1)] AS b
+              FROM t),
+            cum AS (
+              -- chunk index of token i = number of cut points strictly
+              -- before it (O(n^2) slice-sums are fine at oracle scale)
+              SELECT doc_id, ts,
+                     [CASE WHEN CAST(i AS INT) = 1 THEN 0
+                           ELSE CAST(list_sum(b[1:CAST(i AS INT) - 1]) AS INT)
+                      END for i in range(1, len(ts) + 1)] AS ci
+              FROM x),
+            occ AS (
+              SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                     unnest(ts) AS tok, unnest(ci) AS chunk_idx
+              FROM cum),
+            ch AS (
+              SELECT doc_id, chunk_idx,
+                     CAST(count(*) AS BIGINT) AS n_toks,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+              FROM occ GROUP BY doc_id, chunk_idx),
+            own AS (
+              SELECT fp, count(DISTINCT doc_id) AS n_owners FROM ch GROUP BY fp)
+            SELECT c.doc_id, c.chunk_idx, c.n_toks, c.fp, o.n_owners
+            FROM ch c JOIN own o USING (fp)
+        """,
+        "postings_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tf AS (
+              SELECT tok, doc_id, count(*) AS tf FROM toks
+              WHERE tok != '' GROUP BY tok, doc_id),
+            stats AS (
+              SELECT tok, count(*) AS df_t, CAST(sum(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY tok),
+            top AS (
+              SELECT tok, doc_id, tf FROM (
+                SELECT tok, doc_id, tf, row_number() OVER (
+                  PARTITION BY tok ORDER BY tf DESC, doc_id ASC) AS rn
+                FROM tf)
+              WHERE rn <= 10),
+            posts AS (
+              SELECT tok,
+                     string_agg(doc_id || ':' || tf, ','
+                                ORDER BY tf DESC, doc_id ASC) AS postings
+              FROM top GROUP BY tok)
+            SELECT s.tok, s.df_t, s.cf, p.postings
+            FROM stats s JOIN posts p USING (tok)
         """,
     }

@@ -100,6 +100,9 @@ HEADLINE = [
     "url_components",
     "url_word_score",
     "winnow_fingerprint",
+    # round-3 additions (appended so prior ordering stays comparable)
+    "cdc_chunks",
+    "postings_topk",
 ]
 
 

@@ -645,3 +645,74 @@ def chunk_dedup_clean(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking (CDC): split each document at rolling
+    content-derived cut points and fingerprint the chunks for cross-doc
+    dedup. Unlike the fixed-window pass (``chunk_dedup``), CDC boundaries
+    move WITH the content — inserting one token near the top of a page
+    shifts every fixed window but leaves all CDC chunks after the next cut
+    point intact, so boilerplate shared at different offsets still
+    collides (the FastCDC/LBFS trick, applied at token granularity).
+
+    Cut rule: a boundary falls AFTER any token whose md5 starts with hex
+    nibble ``0`` (P=1/16 → mean 16-token chunks) — engine-portable, no RNG.
+
+    Scale shape: chunk construction is a single sequential ``aggregate``
+    fold over the token array inside the scan's codegen — no explode, no
+    per-doc window, ZERO shuffles until the chunks exist. The only
+    exchanges are the fp-ownership aggregate and the join back, both keyed
+    by md5 (uniform — no skew); the ownership agg is map-side combined.
+
+    Output: one row per chunk occurrence —
+    (doc_id, chunk_idx, n_toks, fp, n_owners) where n_owners is the number
+    of distinct docs sharing the chunk fingerprint (n_owners > 1 → shared
+    boilerplate; curation drops or keeps-first by fp).
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def _is_cut(t):
+        return F.substring(F.md5(t), 1, 1) == F.lit("0")
+
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit(None).cast("string").alias("cur"),
+    )
+
+    def _step(acc, t):
+        joined = F.when(acc["cur"].isNull(), t).otherwise(
+            F.concat(acc["cur"], F.lit(" "), t)
+        )
+        return F.struct(
+            F.when(_is_cut(t), F.concat(acc["done"], F.array(joined)))
+            .otherwise(acc["done"])
+            .alias("done"),
+            F.when(_is_cut(t), F.lit(None).cast("string"))
+            .otherwise(joined)
+            .alias("cur"),
+        )
+
+    def _finish(acc):
+        # trailing partial chunk (no cut after the last token)
+        return F.when(acc["cur"].isNull(), acc["done"]).otherwise(
+            F.concat(acc["done"], F.array(acc["cur"]))
+        )
+
+    chunks = F.aggregate(toks, acc0, _step, _finish)
+    occ = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(F.split(F.col("chunk"), " ")).cast("bigint").alias("n_toks"),
+        F.md5(F.col("chunk")).alias("fp"),
+    )
+    owners = occ.groupBy("fp").agg(
+        F.countDistinct(F.col(id_col)).alias("n_owners")
+    )
+    return occ.join(owners, "fp").select(
+        id_col, "chunk_idx", "n_toks", "fp", "n_owners"
+    )

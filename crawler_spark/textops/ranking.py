@@ -121,3 +121,53 @@ def bm25_score(
         .filter(F.col("bm25") > 0)
         .select(id_col, "dl", F.col("bm25"))
     )
+
+
+def postings_topk(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index shard build: per term, the document frequency,
+    collection frequency, and the top-``k`` postings serialized as
+    ``"doc:tf"`` (ranked tf desc, doc asc — the impact-ordered prefix a
+    WAND/maxscore engine serves hot). This is the batch index-construction
+    workload behind the reference's Elasticsearch sink, expressed as a
+    DataFrame job.
+
+    Scale shape: one token explode feeds a (term, doc) hash aggregate with
+    map-side partial combine; df/cf come from a second agg on the SAME key
+    prefix (co-partitioned, AQE reuses the exchange). The top-k prefix is a
+    per-term window — bounded by docs-per-term; for web-scale hot terms
+    ("the": 10^9 postings) production would pre-reduce with a per-partition
+    top-k before the window (same two-phase trick as dedup.budget_cap);
+    the plan here keeps the single window and documents the swap.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok", id_col).agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("tok").agg(
+        F.count("*").alias("df_t"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc(id_col))
+    top = tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    postings = top.groupBy("tok").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("tf")).alias("ntf"), F.col(id_col).alias("d")
+                        )
+                    )
+                ),
+                lambda s: F.concat(
+                    s["d"].cast("string"), F.lit(":"), (-s["ntf"]).cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(postings, "tok").select("tok", "df_t", "cf", "postings")

@@ -639,3 +639,55 @@ def test_chunk_dedup_clean_keep_first_reassembly(spark):
     assert out[3]["clean_text"] == "w1 w2 w3 w4"
     assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
     assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The CDC property: a prefix insertion only perturbs chunks before
+    the next cut point — every chunk after it keeps its fingerprint
+    (fixed windows would all shift and nothing downstream would match)."""
+    from crawler_spark.textops.dedup import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp"])
+    shared = fps[1] & fps[2]
+    # everything from the first post-insertion cut onward re-aligns:
+    # all but at most one chunk of doc 1 is shared with doc 2
+    assert len(shared) >= len(fps[1]) - 1 and len(shared) > 0
+    # and the ownership column reports the collision corpus-wide
+    assert all(r["n_owners"] == 2 for r in rows if r["fp"] in shared)
+
+
+def test_cdc_chunks_partition_exact(spark):
+    """Chunks tile the document exactly: token counts sum to the doc's
+    token count and reassembling chunks in order reproduces the text."""
+    from crawler_spark.textops.dedup import cdc_chunks
+
+    text = " ".join(f"w{i % 37}" for i in range(123))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(cdc_chunks(df).collect(), key=lambda r: r["chunk_idx"])
+    assert sum(r["n_toks"] for r in rows) == 123
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+
+
+def test_postings_topk_impact_order(spark):
+    from crawler_spark.textops.ranking import postings_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, "a b b"),
+            (3, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["tok"]: r for r in postings_topk(df, k=2).collect()}
+    assert out["a"]["df_t"] == 3 and out["a"]["cf"] == 5
+    # tf desc, doc asc; k=2 truncates doc 3
+    assert out["a"]["postings"] == "1:3,2:1"
+    assert out["b"]["postings"] == "2:2,1:1"
