@@ -319,6 +319,90 @@ def send_bulk_files(
     }
 
 
+def send_delete_ids(
+    spark,
+    ids_df,
+    es_url: str,
+    index_name: str,
+    *,
+    id_col: str = "id",
+    batch_size: int = 1000,
+    api_key: str | None = None,
+    basic_auth: tuple | None = None,
+    retry_on_failure: int = DEFAULT_RETRY_ON_FAILURE,
+    delay_on_retry: int = DEFAULT_DELAY_ON_RETRY,
+    timeout_s: float = 60.0,
+    crawl_id: str = "crawl",
+    failed_dir: str = FAILED_BULKS_DIR,
+    sleeper=time.sleep,
+) -> dict:
+    """Purge deletion for the offline crawl: the purge stage's tombstone
+    table knows exactly which doc ids are gone, so instead of the
+    reference's index-wide ``delete_by_query`` range scan
+    (elasticsearch.rb:131-151 — see ``delete_by_query`` below, used in
+    live mode where ``last_crawled_at`` is wall-clock) we stream ``delete``
+    bulk actions (the same op the reference's bulk queue carries,
+    es/client.rb:199-204 handles their item errors) executor-parallel:
+    each partition chunks its ids into ``batch_size``-action ``_bulk``
+    bodies and pushes them through ``send_bulk_body``'s retry loop.
+
+    Returns ``{"deleted": N, "failed": N, "requests": n, "failed_requests":
+    n, "failed_payloads": [...]}`` — deleted counts acknowledged request
+    ops, failed counts ops whose request exhausted its retries.
+    """
+    import pandas as pd  # noqa: F401 (executor-side import below)
+
+    def delete_partition(it):
+        import pandas as pd
+
+        rows = []
+        for pdf in it:
+            ids = [i for i in pdf[id_col].tolist() if i]
+            for lo in range(0, len(ids), batch_size):
+                chunk = ids[lo:lo + batch_size]
+                body = b"".join(
+                    json.dumps(
+                        {"delete": {"_index": index_name, "_id": i}},
+                        separators=(",", ":"),
+                    ).encode("utf-8") + b"\n"
+                    for i in chunk
+                )
+                res = send_bulk_body(
+                    body,
+                    es_url,
+                    index_name,
+                    api_key=api_key,
+                    basic_auth=basic_auth,
+                    retry_on_failure=retry_on_failure,
+                    delay_on_retry=delay_on_retry,
+                    timeout_s=timeout_s,
+                    crawl_id=crawl_id,
+                    failed_dir=failed_dir,
+                    sleeper=sleeper,
+                )
+                rows.append(
+                    (len(chunk), bool(res["ok"]), res["failed_payload"])
+                )
+        yield pd.DataFrame(rows, columns=["ops", "ok", "failed_payload"])
+
+    stat_rows = ids_df.select(id_col).mapInPandas(
+        delete_partition, schema="ops long, ok boolean, failed_payload string"
+    ).collect()
+
+    deleted = sum(r.ops for r in stat_rows if r.ok)
+    failed = sum(r.ops for r in stat_rows if not r.ok)
+    failed_payloads = sorted(
+        r.failed_payload for r in stat_rows if not r.ok and r.failed_payload
+    )
+    return {
+        "deleted": deleted,
+        "failed": failed,
+        "requests": len(stat_rows),
+        "failed_requests": len(failed_payloads),
+        "failed_payloads": failed_payloads,
+    }
+
+
 def delete_by_query(
     es_url: str,
     index_name: str,

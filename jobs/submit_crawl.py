@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -66,6 +67,19 @@ def main(argv=None):
                          "output_sink: elasticsearch; replay with curl)")
     ap.add_argument("--es-index", default=None,
                     help="target index for --es-export (or config output_index)")
+    ap.add_argument("--es-url", default=None,
+                    help="live Elasticsearch base URL: after the export, send "
+                         "every _bulk request file with the reference "
+                         "client's retry/backoff (or config "
+                         "elasticsearch.host[:port])")
+    ap.add_argument("--es-api-key", default=None)
+    ap.add_argument("--es-username", default=None)
+    ap.add_argument("--es-password", default=None)
+    ap.add_argument("--es-purge", action="store_true",
+                    help="after a successful live send, delete docs whose "
+                         "last_crawled_at predates this crawl "
+                         "(_delete_by_query, output_sink/elasticsearch.rb:"
+                         "131-151); requires --es-url")
     ap.add_argument("--reuse-unchanged", action="store_true",
                     help="recrawl/purge: skip re-parsing pages whose corpus "
                          "warc_ts is unchanged (the offline 304)")
@@ -150,12 +164,37 @@ def main(argv=None):
     es_index = args.es_index or _extras.get("output_index")
     es_cfg = _extras.get("elasticsearch") or {}
     if es_dir is None and _extras.get("output_sink") == "elasticsearch":
-        import os
-
         es_dir = os.path.join(args.state, "es_bulk")
     if es_dir and not es_index:
         ap.error("--es-index (or config output_index) is required for the "
                  "elasticsearch output sink")
+
+    # live cluster target: --es-url, or elasticsearch.host[:port] from the
+    # reference-format config (es/client.rb builds the connection the same
+    # way: host wins, port appended only when the host URL carries none)
+    es_url = args.es_url
+    if es_url is None and es_cfg.get("host"):
+        es_url = str(es_cfg["host"])
+        from urllib.parse import urlsplit
+
+        if es_cfg.get("port") and not urlsplit(es_url).port:
+            es_url = es_url.rstrip("/") + f":{int(es_cfg['port'])}"
+    es_api_key = args.es_api_key or es_cfg.get("api_key")
+    es_user = args.es_username or es_cfg.get("username")
+    es_password = args.es_password or es_cfg.get("password")
+    if args.es_purge and not es_url:
+        ap.error("--es-purge requires --es-url (or config elasticsearch.host)")
+    if es_url and not es_dir:
+        ap.error("--es-url requires the elasticsearch export sink "
+                 "(--es-export DIR or config output_sink: elasticsearch)")
+
+    import datetime as _dt
+
+    # the reference purges docs whose last_crawled_at predates the crawl
+    # start (coordinator.rb:112, elasticsearch.rb:131-151)
+    crawl_start_rfc3339 = _dt.datetime.now(_dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
 
     pages = spark.read.parquet(args.pages) if args.pages else None
     crawler = SparkCrawler(
@@ -185,6 +224,43 @@ def main(argv=None):
                 bulk_api.get("max_size_bytes", DEFAULT_MAX_SIZE_BYTES)
             ),
         )
+    send_stats = None
+    deleted = None
+    if es_dir and es_url:
+        from crawler_spark.sources.es_live import delete_by_query, send_bulk_files
+
+        basic = (es_user, es_password) if es_user else None
+        send_stats = send_bulk_files(
+            spark, es_dir, es_url,
+            api_key=es_api_key, basic_auth=basic,
+            crawl_id=os.path.basename(args.state.rstrip("/")) or "crawl",
+        )
+        if args.es_purge and not send_stats["failed_requests"]:
+            if args.live:
+                # live fetches stamp wall-clock last_crawled_at, so the
+                # reference's exact purge applies (elasticsearch.rb:131-151):
+                # refresh, then delete everything this crawl didn't re-index
+                deleted = delete_by_query(
+                    es_url, es_index,
+                    {"query": {"range": {"last_crawled_at": {
+                        "lt": crawl_start_rfc3339}}}},
+                    api_key=es_api_key, basic_auth=basic,
+                )
+            else:
+                # offline corpus timestamps aren't wall-clock; the purge
+                # stage's tombstones name the gone docs exactly — stream
+                # bulk delete actions for them, executor-parallel
+                from crawler_spark.sources.es_live import send_delete_ids
+
+                purged = res.purged
+                deleted = 0
+                if purged is not None:
+                    del_stats = send_delete_ids(
+                        spark, purged.select("id").distinct(), es_url,
+                        es_index, api_key=es_api_key, basic_auth=basic,
+                    )
+                    deleted = del_stats["deleted"]
+
     manifest = res.store.read_manifest()
     out = {
         "waves": manifest["wave"],
@@ -193,7 +269,16 @@ def main(argv=None):
         "state": args.state,
     }
     if es_stats is not None:
-        out["ingestion_stats"] = es_stats
+        # live send stats supersede the exporter's optimistic local count —
+        # they say what the cluster actually acknowledged
+        out["ingestion_stats"] = send_stats if send_stats is not None else es_stats
+        if send_stats is not None:
+            out["ingestion_stats"]["exported"] = {
+                "docs_count": es_stats["completed"]["docs_count"],
+                "docs_volume": es_stats["completed"]["docs_volume"],
+            }
+    if deleted is not None:
+        out["deleted"] = deleted
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -229,6 +229,121 @@ def test_send_job_cli(spark, tmp_path, mock_es, monkeypatch):
     assert rc == 2  # failed requests surface in the exit status
 
 
+def test_send_delete_ids_batches(spark, tmp_path, mock_es):
+    from crawler_spark.sources.es_live import send_delete_ids
+
+    ids = spark.createDataFrame(
+        [(f"id{i}",) for i in range(5)], "id string"
+    ).repartition(1)
+    stats = send_delete_ids(
+        spark, ids, _url(mock_es), "web-index", batch_size=2,
+        sleeper=lambda s: None, failed_dir=str(tmp_path / "failed"),
+    )
+    assert stats["deleted"] == 5
+    assert stats["failed"] == 0
+    assert stats["requests"] == 3  # 2+2+1
+    assert stats["failed_requests"] == 0
+    got = set()
+    for r in mock_es.requests:
+        assert r["path"] == "/web-index/_bulk"  # no ?pipeline= on deletes
+        for ln in r["body"].split(b"\n"):
+            if not ln:
+                continue
+            op = json.loads(ln)
+            assert set(op) == {"delete"}
+            assert op["delete"]["_index"] == "web-index"
+            got.add(op["delete"]["_id"])
+    assert got == {f"id{i}" for i in range(5)}
+
+
+def test_submit_job_live_send_and_offline_purge(
+    spark, tmp_path, mock_es, monkeypatch, capsys
+):
+    """--es-url closes the crawl→export→index loop in one job, and
+    --es-purge on a recrawl streams bulk delete actions for exactly the
+    purge stage's tombstones (the offline analog of
+    elasticsearch.rb:131-151's delete_by_query)."""
+    import datetime as dt
+
+    from crawler_spark.fixtures.gen import write_parquet
+    from crawler_spark.functions.urlnorm import url_sha1
+
+    HOST = "https://p.test"
+    EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(links):
+        body = "".join(f'<a href="{h}">x</a>' for h in links)
+        return f"<html><head><title>t</title></head><body>word {body}</body></html>"
+
+    def corpus(pages, path):
+        rows = [
+            {"url": u, "warc_ts": EPOCH + dt.timedelta(seconds=i),
+             "html": h.encode(), "text": "", "lang": "en"}
+            for i, (u, h) in enumerate(sorted(pages.items()))
+        ]
+        write_parquet(rows, str(path))
+        return str(path)
+
+    v1 = corpus({
+        f"{HOST}/": page(["/a", "/b"]),
+        f"{HOST}/a": page([]),
+        f"{HOST}/b": page([]),
+    }, tmp_path / "v1.parquet")
+    v2 = corpus({
+        f"{HOST}/": page(["/a"]),
+        f"{HOST}/a": page([]),
+    }, tmp_path / "v2.parquet")
+
+    import jobs.submit_crawl as job
+
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.builder",
+        type("B", (), {"appName": lambda self, n: self,
+                       "getOrCreate": lambda self: spark})(),
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    state = str(tmp_path / "state")
+
+    assert job.main([
+        "--pages", v1, "--state", state, "--seeds", f"{HOST}/",
+        "--max-waves", "10", "--no-lineage",
+        "--es-export", str(tmp_path / "bulk1"), "--es-index", "web-corpus",
+        "--es-url", _url(mock_es),
+    ]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["ingestion_stats"]["completed"]["docs_count"] == 3
+    assert out1["ingestion_stats"]["failed"]["docs_count"] == 0
+    assert out1["ingestion_stats"]["exported"]["docs_count"] == 3
+    indexed = set()
+    for r in mock_es.requests:
+        assert r["path"].startswith("/web-corpus/_bulk")
+        for ln in r["body"].split(b"\n"):
+            if ln and b'"index"' in ln:
+                op = json.loads(ln)
+                if "index" in op:
+                    indexed.add(op["index"]["_id"])
+    assert indexed == {url_sha1(f"{HOST}/"), url_sha1(f"{HOST}/a"),
+                       url_sha1(f"{HOST}/b")}
+
+    mock_es.requests.clear()
+    assert job.main([
+        "--pages", v2, "--state", state, "--seeds", f"{HOST}/",
+        "--max-waves", "10", "--no-lineage", "--recrawl",
+        "--es-export", str(tmp_path / "bulk2"), "--es-index", "web-corpus",
+        "--es-url", _url(mock_es), "--es-purge",
+    ]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["deleted"] == 1
+    deletes = set()
+    for r in mock_es.requests:
+        for ln in r["body"].split(b"\n"):
+            if ln:
+                op = json.loads(ln)
+                if "delete" in op:
+                    deletes.add(op["delete"]["_id"])
+    assert deletes == {url_sha1(f"{HOST}/b")}  # exactly the tombstoned doc
+
+
 def test_delete_by_query_refresh_then_delete(mock_es):
     mock_es.plan = [(200, {"ok": True}), (200, {"deleted": 5})]
     n = delete_by_query(
