@@ -386,6 +386,32 @@ def _fast_build(rawdata: str) -> Element:
     return root
 
 
+# --- external tree-builder seam --------------------------------------------
+# At 100 TB the per-document parse is the cluster bill, and a C parser
+# (selectolax/lxml — absent from this container) is the 10-50x lever. The
+# hook below lets a deployment drop one in WITHOUT touching the extraction
+# pipeline: register a callable html -> root Element (children built from
+# this module's Element/Text/Comment nodes; the implicit html/head/body
+# normalization below still applies, so the builder only mirrors the raw
+# tag tree). Returning None or raising falls back to the built-in parser,
+# so a partial adapter degrades safely. An adapter is ~30 lines: walk the
+# C parser's tree, emit Element(tag, attrs) / Text(data) preserving
+# document order and script/style raw text. Contract is pinned by
+# tests/test_textextract.py::test_tree_builder_seam.
+_tree_builder = None
+
+
+def set_tree_builder(fn):
+    """Install ``fn(html) -> Element | None`` as the preferred tree builder.
+
+    Returns the previously installed builder (None for the built-in), so
+    callers can restore it. Pass ``None`` to uninstall."""
+    global _tree_builder
+    prev = _tree_builder
+    _tree_builder = fn
+    return prev
+
+
 def parse(html: str) -> Element:
     """Parse HTML into a document Element with implicit html/head/body.
 
@@ -394,10 +420,16 @@ def parse(html: str) -> Element:
     ``Jsoup.parse``'s always-materialized structure.
     """
     root = None
-    try:
-        root = _fast_build(html or "")
-    except Exception:
-        root = None
+    if _tree_builder is not None:
+        try:
+            root = _tree_builder(html or "")
+        except Exception:
+            root = None
+    if root is None:
+        try:
+            root = _fast_build(html or "")
+        except Exception:
+            root = None
     if root is None:
         b = _DomBuilder()
         try:

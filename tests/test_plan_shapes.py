@@ -240,6 +240,31 @@ def test_unicode_clean_single_arrow_stage_no_shuffle(spark, entry_queries):
     assert "BatchEvalPython" not in plan  # row-at-a-time path forbidden
 
 
+def test_cdc_chunks_fold_in_codegen_no_window(spark, entry_queries):
+    """Chunk construction is a sequential ``aggregate`` fold inside the
+    scan's codegen — the only explode is of the already-built chunk array,
+    and ownership/join-back are hash-keyed on the uniform md5 fp: no
+    window, no global sort, no nested-loop join."""
+    plan = _formatted_plan(entry_queries["cdc_chunks"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "NestedLoop" not in plan
+    # ownership count and the occurrence side meet in a hash join on fp
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or (
+        "SortMergeJoin" in plan
+    )
+
+
+def test_postings_topk_partial_agg_and_group_limit(spark, entry_queries):
+    """One token explode feeds the (term, doc) tf aggregate with map-side
+    partial combine; the impact-ordered prefix prunes below the exchange
+    via WindowGroupLimit instead of sorting whole posting lists."""
+    plan = _formatted_plan(entry_queries["postings_topk"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial + final tf combine
+    assert "WindowGroupLimit" in plan  # per-term top-k pruned pre-shuffle
+    assert "rangepartitioning" not in plan.lower()  # never a global sort
+
+
 def test_crawl_diff_single_join_no_sort(spark, entry_queries):
     """Fingerprints are scan-side projections; the classifier is one
     full-outer join on the id — no window, no rangepartitioning."""

@@ -266,3 +266,47 @@ def test_sitemap_xxe_and_entity_bomb_are_inert():
     )
     sm, cl = parse_sitemap(u, bomb)  # must return promptly, no expansion
     assert all(len(c) < 200 for c in cl)
+
+
+def test_tree_builder_seam():
+    """The C-parser injection point (dom.set_tree_builder): an installed
+    builder's tree feeds the whole extraction pipeline, a raising or
+    None-returning builder falls back to the built-in parser, and the
+    previous builder is returned for restoration."""
+    calls = []
+
+    def builder(html):
+        calls.append(html)
+        root = dom.Element("#root")
+        h = dom.Element("html")
+        root.append(h)
+        b = dom.Element("body")
+        h.append(b)
+        p = dom.Element("p")
+        b.append(p)
+        p.append(dom.Text("injected by backend"))
+        return root
+
+    prev = dom.set_tree_builder(builder)
+    try:
+        doc = dom.parse("<html><body>built-in text</body></html>")
+        assert calls == ["<html><body>built-in text</body></html>"]
+        body = doc.find_first("body")
+        assert "injected by backend" in node_descendant_text(body)
+        assert "built-in" not in node_descendant_text(body)
+
+        # a raising builder degrades to the built-in parser
+        def boom(html):
+            raise ValueError("partial adapter")
+
+        dom.set_tree_builder(boom)
+        doc2 = dom.parse("<p>real content</p>")
+        assert "real content" in node_descendant_text(doc2.find_first("body"))
+
+        # returning None also falls back
+        dom.set_tree_builder(lambda h: None)
+        doc3 = dom.parse("<p>still real</p>")
+        assert "still real" in node_descendant_text(doc3.find_first("body"))
+    finally:
+        assert dom.set_tree_builder(prev) is not None  # ours was installed
+    assert dom._tree_builder is prev
