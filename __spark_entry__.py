@@ -754,6 +754,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return postings_topk(_t(spark, sf, "documents"), k=10)
 
+    def event_asof_q(spark, sf):
+        # as-of join (kdb aj / pandas merge_asof — no Spark primitive):
+        # each click gets the most recent strictly-earlier purchase value
+        # per user, via the union-tag + running-window shape (ONE shuffle
+        # on the key, no join, no BroadcastNestedLoop)
+        from crawler_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", F.col("value").alias("click_value")
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return asof_join(
+            clicks, purchases, "user_id", ("ts", "event_id"), ("value",),
+            prefix="last_purchase_",
+        ).select(
+            "event_id", "user_id", "ts", "click_value", "last_purchase_value"
+        )
+
+    def range_join_q(spark, sf):
+        # range join (point-in-interval, no equality key): bulk lineitems
+        # shipped within a week of any order's date — bucketed to an
+        # equi-join at week grain so Catalyst never plans a nested loop
+        from crawler_spark.operators.temporal import range_bucket_join
+
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderdate", F.date_add("o_orderdate", 7).alias("o_end")
+        )
+        items = (
+            _t(spark, sf, "lineitem")
+            .filter(F.col("l_quantity") >= 48)
+            .select("l_orderkey", "l_shipdate")
+        )
+        j = range_bucket_join(
+            orders, items,
+            start_col="o_orderdate", end_col="o_end", point_col="l_shipdate",
+            bucket_width_expr="7 days",
+            point_bucket_expr="datediff(l_shipdate, DATE'1970-01-01') DIV 7",
+            start_bucket_expr="datediff(o_orderdate, DATE'1970-01-01') DIV 7",
+        )
+        counted = j.groupBy("o_orderkey").agg(
+            F.count("*").cast("long").alias("n_shipped_week")
+        )
+        return (
+            orders.select("o_orderkey")
+            .join(counted, "o_orderkey", "left")
+            .select(
+                "o_orderkey",
+                F.coalesce(F.col("n_shipped_week"), F.lit(0))
+                .cast("long").alias("n_shipped_week"),
+            )
+        )
+
+    def rollup_q(spark, sf):
+        # hypertable-style continuous aggregate: day + month grains in ONE
+        # GROUPING SETS pass (one scan, one shuffle for all grains)
+        from crawler_spark.operators.temporal import time_rollup
+
+        ev = _t(spark, sf, "events").withColumn(
+            "value_cents", F.expr("CAST(floor(value * 100) AS BIGINT)")
+        )
+        return time_rollup(
+            ev, "ts", "event_type",
+            [
+                F.count("*").cast("long").alias("n_events"),
+                F.sum("value_cents").alias("sum_value_cents"),
+            ],
+            grains=("day", "month"),
+        )
+
+    def kmv_q(spark, sf):
+        # KMV distinct sketch (Beyer et al. SIGMOD'07): engine-portable
+        # alternative to HLL — per-lang vocabulary estimate from the 64
+        # smallest md5 values, integer fixed-point, vs the exact count
+        from crawler_spark.textops.sketches import kmv_distinct
+
+        toks = _t(spark, sf, "documents").select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        return kmv_distinct(toks, "lang", "tok", k=64)
+
+    def host_split_q(spark, sf):
+        # leakage-safe train/val/test split: every doc from a source lands
+        # in the same split (hash-of-unit, stable under corpus growth)
+        from crawler_spark.textops.corpusfilter import leakage_safe_split
+
+        return leakage_safe_split(_t(spark, sf, "documents"))
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -824,6 +914,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_clean": chunk_clean,
         "cdc_chunks": cdc_chunks_q,
         "postings_topk": postings_q,
+        "event_asof": event_asof_q,
+        "range_week_join": range_join_q,
+        "rollup_timegrain": rollup_q,
+        "kmv_distinct": kmv_q,
+        "host_split": host_split_q,
     }
 
 
@@ -847,6 +942,22 @@ _OCC = (
 
 def _occ(t: str, w: str) -> str:
     return _OCC.format(t=t, w=w, n=len(w) + 1)
+
+
+def _md5_prefix_sql(elem_sql: str, nibbles: int) -> str:
+    """ANSI spelling of Spark's conv(substring(md5(x),1,n),16,10):
+    nibble-by-nibble strpos arithmetic, bit-identical in any engine."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({elem_sql}), {p}, 1)) - 1)"
+        f" * {16 ** (nibbles - p)}"
+        for p in range(1, nibbles + 1)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _kmv_hash_sql(elem_sql: str) -> str:
+    # the KMV sketch's 52-bit hash (crawler_spark/textops/sketches.py)
+    return _md5_prefix_sql(elem_sql, 13)
 
 
 _TOKENS = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
@@ -2154,5 +2265,90 @@ def oracle_sql() -> dict[str, str]:
               FROM top GROUP BY tok)
             SELECT s.tok, s.df_t, s.cf, p.postings
             FROM stats s JOIN posts p USING (tok)
+        """,
+        "event_asof": """
+            WITH tagged AS (
+              SELECT event_id, ts, user_id, value, 1 AS side
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT event_id, ts, user_id, value, 0
+              FROM events WHERE event_type = 'purchase'),
+            w AS (
+              SELECT event_id, ts, user_id, side,
+                     CASE WHEN side = 1 THEN value END AS click_value,
+                     last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id, side
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_purchase_value
+              FROM tagged)
+            SELECT event_id, user_id, ts, click_value, last_purchase_value
+            FROM w WHERE side = 1
+        """,
+        "range_week_join": """
+            SELECT o.o_orderkey,
+                   CAST(count(l.l_orderkey) AS BIGINT) AS n_shipped_week
+            FROM orders o LEFT JOIN (
+              SELECT l_orderkey, l_shipdate FROM lineitem
+              WHERE l_quantity >= 48) l
+              ON l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey
+        """,
+        "rollup_timegrain": """
+            WITH g AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                     CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+                     CAST(floor(value * 100) AS BIGINT) AS vc
+              FROM events)
+            SELECT event_type,
+                   CASE WHEN GROUPING(d) = 0 THEN 'day' ELSE 'month' END
+                     AS grain,
+                   coalesce(d, m) AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(vc) AS BIGINT) AS sum_value_cents
+            FROM g GROUP BY GROUPING SETS ((event_type, d), (event_type, m))
+        """,
+        "kmv_distinct": f"""
+            WITH toks AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            hashed AS (
+              SELECT DISTINCT lang, {_kmv_hash_sql("tok")} AS h FROM toks),
+            ranked AS (
+              SELECT lang, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+              FROM hashed),
+            sk AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS k_used,
+                     max(h) AS kth_h
+              FROM ranked WHERE rn <= 64 GROUP BY lang),
+            ex AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+              FROM hashed GROUP BY lang)
+            SELECT sk.lang, k_used, kth_h,
+                   CASE WHEN k_used < 64 THEN k_used
+                        ELSE (k_used - 1) * 4503599627370496 // kth_h END
+                     AS est_distinct,
+                   exact_distinct
+            FROM sk JOIN ex ON sk.lang = ex.lang
+        """,
+        "host_split": f"""
+            WITH u AS (
+              SELECT source AS unit,
+                     CAST(count(doc_id) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY source),
+            b AS (
+              SELECT unit, CAST(({_md5_prefix_sql("unit", 8)}) % 100 AS BIGINT)
+                       AS bucket,
+                     n_docs, total_chars
+              FROM u)
+            SELECT unit, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   n_docs, total_chars
+            FROM b
         """,
     }

@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    # every queries() entry is benched (a regression in any of the 67 is
+    # every queries() entry is benched (a regression in any of them is
     # visible round-over-round); the warm-up prelude below pins session
     # cold-start out of the first timed query, and the list order is
     # fixed so suite-ordering JIT noise stays comparable across rounds
@@ -103,6 +103,11 @@ HEADLINE = [
     # round-3 additions (appended so prior ordering stays comparable)
     "cdc_chunks",
     "postings_topk",
+    "event_asof",
+    "range_week_join",
+    "rollup_timegrain",
+    "kmv_distinct",
+    "host_split",
 ]
 
 

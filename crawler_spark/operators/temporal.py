@@ -1,0 +1,185 @@
+"""Temporal relational operators Spark lacks as primitives: as-of join,
+point-in-interval range join, and multi-grain time rollup.
+
+A crawl archive is a time-versioned corpus, and the training-data jobs
+over it keep needing three shapes the DataFrame API has no single verb
+for: "attach the most recent earlier fact" (as-of join — kdb's `aj`,
+pandas `merge_asof`), "match points to intervals without an equality
+key" (range join), and "maintain the same aggregate at several time
+grains in one pass" (the hypertable continuous-aggregate rollup). Each
+is implemented here as a composition of built-in operators that keeps
+Catalyst in control — no Python UDFs, no nested-loop joins — so the
+plans survive a 100x scale-up:
+
+- ``asof_join``: the union-tag trick. Tag both sides, union, and take a
+  ``last(..., ignorenulls=True)`` running window per key over a total
+  order. ONE shuffle on the key, no join at all — the naive
+  alternative (theta-join on ``r.ts <= l.ts`` + argmax) is a
+  BroadcastNestedLoopJoin that dies at scale. Works for any number of
+  carried right-side columns.
+- ``range_bucket_join``: buckets both sides at the interval-width grain
+  so every interval covers at most two buckets, equi-joins on the
+  bucket, then applies the exact range predicate. Catalyst sees a plain
+  hash join (broadcast or shuffled — AQE picks); the bucket explode is
+  a bounded 2x on the interval side only. This is the published
+  bucketed-range-join rewrite (Spark range-join hints on Databricks,
+  Flink interval joins) expressed with stock operators.
+- ``time_rollup``: GROUPING SETS over (key, day) and (key, month) —
+  one Expand + one hash aggregate, so the input is scanned and
+  shuffled once for every grain instead of once per grain. The
+  map-side partial aggregate collapses each grain's buckets before the
+  exchange, which is exactly what a TimescaleDB-style continuous
+  aggregate materializes incrementally.
+
+All outputs are integers, passthrough columns, or timestamps — no
+derived doubles — so results replay bit-identically in any engine
+(the repo-wide fixed-point discipline).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the right row's ``value_cols`` from the
+    most recent right row strictly before it in ``order_cols`` order,
+    per ``key_col`` (NULL when no earlier right row exists).
+
+    ``order_cols`` must be a total order across BOTH inputs combined
+    (e.g. ``(ts, event_id)`` with globally unique ids) — that makes
+    "strictly before" unambiguous and the result engine-portable even
+    with tied timestamps, where timestamp-only as-of joins (DuckDB
+    ``ASOF JOIN``, pandas ``merge_asof``) are tie-ambiguous.
+
+    Scale shape: union + one running window = ONE hash exchange on
+    ``key_col``; within a partition the window is a linear scan. Right
+    rows carry only ``key/order/value`` columns (payload pruned before
+    the shuffle). Skewed keys cost what any per-key window costs; the
+    window is running (rowsBetween to -1), never whole-partition
+    buffered.
+    """
+    order_cols = list(order_cols)
+    value_cols = list(value_cols)
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        key_col, *order_cols, *value_cols
+    ).withColumn("_side", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols], F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for v in value_cols:
+        u = u.withColumn(
+            prefix + v,
+            F.last(
+                F.when(F.col("_side") == 0, F.col(v)), ignorenulls=True
+            ).over(w),
+        )
+    return u.filter(F.col("_side") == 1).drop("_side", *value_cols)
+
+
+def range_bucket_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bucket_width_expr: str,
+    point_bucket_expr: str,
+    start_bucket_expr: str,
+) -> DataFrame:
+    """Inner join ``points`` rows into ``intervals`` rows where
+    ``start <= point < end``, without a nested-loop join.
+
+    Caller supplies the bucketization as SQL expressions (so dates,
+    timestamps, and numerics all work): ``start_bucket_expr`` /
+    ``point_bucket_expr`` map the start/point columns to an integer
+    bucket id at a grain >= the widest interval, and
+    ``bucket_width_expr`` is unused width documentation hook kept for
+    clarity in call sites. Every interval then overlaps at most buckets
+    ``b`` and ``b+1``; the interval side is exploded to those two ids
+    and the join is a plain equi-join on the bucket followed by the
+    exact range filter. Output: all interval columns + the matching
+    point row's columns.
+
+    Scale shape: 2x bounded fan-out on the (smaller) interval side,
+    one hash join on a uniform integer key, predicate applied at the
+    join — versus the naive ``ON p >= s AND p < e`` which Catalyst can
+    only execute as BroadcastNestedLoopJoin.
+    """
+    del bucket_width_expr  # documentation-only parameter
+    iv = intervals.withColumn(
+        "_b", F.explode(F.array(F.expr(start_bucket_expr),
+                                F.expr(start_bucket_expr) + 1))
+    )
+    pt = points.withColumn("_b", F.expr(point_bucket_expr))
+    joined = iv.join(pt, "_b").filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("_b")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    agg_exprs: Sequence,
+    grains: Sequence[str] = ("day", "month"),
+) -> DataFrame:
+    """Multi-grain time rollup in one pass: for each grain in
+    ``grains`` (Spark ``date_trunc`` field names), aggregate
+    ``agg_exprs`` per (key, time bucket), emitting
+    ``(key, grain, bucket_ts, aggs...)`` rows for every grain from a
+    single GROUPING SETS aggregate.
+
+    One Expand (x len(grains)) + one hash aggregate: map-side partials
+    collapse each grain's buckets before the single exchange. N grains
+    over a 100 TB events table cost one scan and one shuffle, not N.
+    """
+    grains = list(grains)
+    gcols = [f"_g_{g}" for g in grains]
+    flags = [f"_isnot_{g}" for g in grains]
+    base = df.select(
+        *df.columns,
+        *[F.date_trunc(g.upper(), F.col(ts_col)).alias(c)
+          for g, c in zip(grains, gcols)],
+    )
+    grouped = base.groupingSets(
+        [[key_col, c] for c in gcols], key_col, *gcols
+    ).agg(
+        *agg_exprs,
+        *[F.grouping(c).alias(fl) for c, fl in zip(gcols, flags)],
+    )
+    grain_label = None
+    bucket = None
+    for g, c, fl in zip(grains, gcols, flags):
+        cond = F.col(fl) == 0
+        grain_label = (
+            F.when(cond, F.lit(g)) if grain_label is None
+            else grain_label.when(cond, F.lit(g))
+        )
+        bucket = F.col(c) if bucket is None else F.coalesce(bucket, F.col(c))
+    agg_names = [
+        c for c in grouped.columns
+        if c != key_col and c not in gcols and c not in flags
+    ]
+    return grouped.select(
+        F.col(key_col),
+        grain_label.alias("grain"),
+        bucket.alias("bucket_ts"),
+        *agg_names,
+    )

@@ -790,3 +790,50 @@ def line_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    unit_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document from the
+    same ``unit_col`` (host / source / domain) lands in the SAME split,
+    so near-duplicate pages within a site can never straddle the
+    train/eval boundary — the standard contamination guard for web-text
+    corpora (the same unit-level discipline the dedup pipeline uses;
+    random per-document splits leak boilerplate and templated pages).
+
+    The assignment is a pure hash of the unit name — md5's first 8
+    nibbles mod 100 — so it is stable across runs, engines, and corpus
+    growth: adding documents never reassigns an existing unit, which
+    makes the split safe to apply incrementally per crawl wave.
+
+    Output: one row per unit — ``(unit, bucket, split, n_docs,
+    total_chars)`` — all integers/strings, bit-replayable anywhere.
+
+    Scale shape: one map-side-combined aggregate on the unit (hosts are
+    Zipf-many but each group collapses to one row per map task before
+    the exchange); the hash is JVM codegen. Joining the assignment back
+    onto the corpus is a broadcast join (the unit dim is tiny vs docs).
+    """
+    bucket = F.expr(
+        "CAST(conv(substring(md5(unit), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        df.groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.count(id_col).cast("long").alias("n_docs"),
+            F.sum(size_col).cast("long").alias("total_chars"),
+        )
+        .withColumn("bucket", bucket)
+        .select("unit", "bucket", split.alias("split"), "n_docs", "total_chars")
+    )

@@ -272,3 +272,58 @@ def test_crawl_diff_single_join_no_sort(spark, entry_queries):
     assert "FullOuter" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "Window" not in plan
+
+
+def test_event_asof_single_window_no_join(spark, entry_queries):
+    """As-of join is the union-tag + running-window shape: ONE exchange
+    for the per-key window, NO join operator of any kind — the naive
+    theta-join (r.ts <= l.ts) would be a BroadcastNestedLoopJoin."""
+    plan = _formatted_plan(entry_queries["event_asof"](spark, SF_DIR))
+    assert "Join" not in plan  # matches every join flavor
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_range_week_join_hash_join_no_nested_loop(spark, entry_queries):
+    """The point-in-interval join runs as an equi-join on the week
+    bucket (hash join; AQE picks broadcast vs shuffled) with the exact
+    range predicate applied at the join — never a nested loop over the
+    cross product."""
+    plan = _formatted_plan(entry_queries["range_week_join"](spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
+
+
+def test_rollup_timegrain_one_expand_one_agg_chain(spark, entry_queries):
+    """Both grains come from ONE GROUPING SETS pass: a single Expand
+    feeding one partial+final hash-aggregate chain — one scan and one
+    exchange for all grains, not one per grain."""
+    import re
+
+    plan = _formatted_plan(entry_queries["rollup_timegrain"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # one for all grains
+
+
+def test_kmv_distinct_no_join_no_global_sort(spark, entry_queries):
+    """The sketch's exact count rides the same window pass as the
+    k-smallest frontier (count(*) == max rank), so there is no second
+    scan and no join; the only sort is per-group inside the window."""
+    plan = _formatted_plan(entry_queries["kmv_distinct"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" in plan
+
+
+def test_host_split_single_agg_no_shuffle_beyond_groupby(spark, entry_queries):
+    """Split assignment is a hash over the unit aggregate's own key:
+    one map-side-combined group-by, no window, no join."""
+    plan = _formatted_plan(entry_queries["host_split"](spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -1,0 +1,270 @@
+"""Unit tests for the temporal relational operators (as-of join, range
+bucket join, multi-grain rollup), the KMV distinct sketch, and the
+leakage-safe corpus split."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            # (event_id, ts, key, payload)
+            (10, dt.datetime(2024, 1, 1, 10, 0), "u1", 1.0),
+            (11, dt.datetime(2024, 1, 1, 12, 0), "u1", 2.0),
+            (12, dt.datetime(2024, 1, 1, 9, 0), "u2", 3.0),
+        ],
+        "event_id long, ts timestamp, key string, payload double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 9, 30), "u1", 100.0),
+            (2, dt.datetime(2024, 1, 1, 11, 0), "u1", 200.0),
+            (3, dt.datetime(2024, 1, 1, 13, 0), "u1", 300.0),  # after all
+            (4, dt.datetime(2024, 1, 1, 9, 30), "u2", 400.0),  # after u2's
+        ],
+        "event_id long, ts timestamp, key string, value double",
+    )
+    return left, right
+
+
+def test_asof_join_most_recent_strictly_before(spark):
+    from crawler_spark.operators.temporal import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, "key", ("ts", "event_id"), ("value",))
+    rows = {r.event_id: r for r in out.collect()}
+    assert len(rows) == 3  # every left row survives
+    assert rows[10].asof_value == 100.0  # 9:30 is the latest before 10:00
+    assert rows[11].asof_value == 200.0  # 11:00 beats 9:30; 13:00 is later
+    assert rows[12].asof_value is None  # no u2 right row before 9:00
+    # left payload carried through untouched
+    assert rows[11].payload == 2.0
+
+
+def test_asof_join_tie_total_order_and_multi_value(spark):
+    from crawler_spark.operators.temporal import asof_join
+
+    ts = dt.datetime(2024, 6, 1, 12, 0)
+    left = spark.createDataFrame(
+        [(5, ts, "k")], "event_id long, ts timestamp, key string"
+    )
+    # right rows share the left row's ts: the (ts, event_id) total order
+    # decides — id 4 < 5 counts as "before", id 6 > 5 does not
+    right = spark.createDataFrame(
+        [(4, ts, "k", 40.0, "a"), (6, ts, "k", 60.0, "b")],
+        "event_id long, ts timestamp, key string, value double, tag string",
+    )
+    out = asof_join(
+        left, right, "key", ("ts", "event_id"), ("value", "tag")
+    ).collect()[0]
+    assert out.asof_value == 40.0 and out.asof_tag == "a"
+
+
+# ---------------------------------------------------------------------------
+# range_bucket_join
+
+def test_range_bucket_join_boundaries_and_cross_bucket(spark):
+    from crawler_spark.operators.temporal import range_bucket_join
+
+    d = dt.date
+    intervals = spark.createDataFrame(
+        [(1, d(2024, 1, 10), d(2024, 1, 17))],  # [10th, 17th)
+        "iv_id long, start date, end date",
+    )
+    points = spark.createDataFrame(
+        [
+            (100, d(2024, 1, 10)),  # == start: included
+            (101, d(2024, 1, 16)),  # inside, likely next week-bucket
+            (102, d(2024, 1, 17)),  # == end: excluded
+            (103, d(2024, 1, 9)),   # before: excluded
+        ],
+        "pt_id long, p date",
+    )
+    out = range_bucket_join(
+        intervals, points,
+        start_col="start", end_col="end", point_col="p",
+        bucket_width_expr="7 days",
+        point_bucket_expr="datediff(p, DATE'1970-01-01') DIV 7",
+        start_bucket_expr="datediff(start, DATE'1970-01-01') DIV 7",
+    )
+    got = sorted(r.pt_id for r in out.collect())
+    assert got == [100, 101]
+
+
+def test_range_bucket_join_matches_naive_join(spark):
+    from crawler_spark.operators.temporal import range_bucket_join
+
+    base = dt.date(2024, 3, 1)
+    intervals = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=3 * i), base + dt.timedelta(days=3 * i + 7))
+         for i in range(15)],
+        "iv_id long, start date, end date",
+    )
+    points = spark.createDataFrame(
+        [(j, base + dt.timedelta(days=j % 50)) for j in range(120)],
+        "pt_id long, p date",
+    )
+    fast = range_bucket_join(
+        intervals, points,
+        start_col="start", end_col="end", point_col="p",
+        bucket_width_expr="7 days",
+        point_bucket_expr="datediff(p, DATE'1970-01-01') DIV 7",
+        start_bucket_expr="datediff(start, DATE'1970-01-01') DIV 7",
+    )
+    naive = intervals.join(
+        points, (F.col("p") >= F.col("start")) & (F.col("p") < F.col("end"))
+    )
+    fast_set = {(r.iv_id, r.pt_id) for r in fast.collect()}
+    naive_set = {(r.iv_id, r.pt_id) for r in naive.collect()}
+    assert fast_set == naive_set and fast_set
+
+
+# ---------------------------------------------------------------------------
+# time_rollup
+
+def test_time_rollup_grains_match_manual_groupbys(spark):
+    from crawler_spark.operators.temporal import time_rollup
+
+    ev = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 5), 1),
+            ("a", dt.datetime(2024, 1, 1, 9), 2),
+            ("a", dt.datetime(2024, 1, 2, 5), 4),
+            ("a", dt.datetime(2024, 2, 1, 5), 8),
+            ("b", dt.datetime(2024, 1, 15, 5), 16),
+        ],
+        "k string, ts timestamp, v long",
+    )
+    out = time_rollup(
+        ev, "ts", "k",
+        [F.count("*").cast("long").alias("n"), F.sum("v").alias("sv")],
+        grains=("day", "month"),
+    )
+    rows = {(r.k, r.grain, r.bucket_ts): (r.n, r.sv) for r in out.collect()}
+    # day grain
+    assert rows[("a", "day", dt.datetime(2024, 1, 1))] == (2, 3)
+    assert rows[("a", "day", dt.datetime(2024, 1, 2))] == (1, 4)
+    assert rows[("a", "day", dt.datetime(2024, 2, 1))] == (1, 8)
+    # month grain aggregates the days
+    assert rows[("a", "month", dt.datetime(2024, 1, 1))] == (3, 7)
+    assert rows[("a", "month", dt.datetime(2024, 2, 1))] == (1, 8)
+    assert rows[("b", "month", dt.datetime(2024, 1, 1))] == (1, 16)
+    # row count = day buckets + month buckets, nothing else
+    assert len(rows) == 4 + 3
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct
+
+def test_kmv_small_group_is_exact(spark):
+    from crawler_spark.textops.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"tok{i % 10}") for i in range(100)], "grp string, e string"
+    )
+    row = kmv_distinct(df, "grp", "e", k=64).collect()[0]
+    assert row.k_used == 10
+    assert row.est_distinct == 10 == row.exact_distinct
+
+
+def test_kmv_estimate_within_tolerance_and_deterministic(spark):
+    from crawler_spark.textops.sketches import kmv_distinct
+
+    n = 3000
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"elem-{i}") for i in range(n)], "grp string, e string"
+    )
+    out = {r.grp: r for r in kmv_distinct(df, "grp", "e", k=64).collect()}
+    for g, exact in (("g0", n // 2), ("g1", n // 2)):
+        r = out[g]
+        assert r.exact_distinct == exact
+        # KMV stderr ~ 1/sqrt(k-1) ~ 12.6%; allow 4 sigma
+        assert abs(r.est_distinct - exact) < exact * 0.5
+    # bit-identical on re-run and under repartitioning
+    again = {
+        r.grp: r
+        for r in kmv_distinct(df.repartition(7), "grp", "e", k=64).collect()
+    }
+    for g in out:
+        assert out[g].est_distinct == again[g].est_distinct
+        assert out[g].kth_h == again[g].kth_h
+
+
+def test_kmv_hash_sql_matches_spark_conv(spark):
+    import duckdb
+
+    from crawler_spark.textops.sketches import kmv_hash_sql
+
+    words = ["alpha", "beta", "gamma", "δelta", ""]
+    spark_vals = [
+        r.h
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select(
+            F.expr(
+                "CAST(conv(substring(md5(w), 1, 13), 16, 10) AS BIGINT)"
+            ).alias("h")
+        )
+        .collect()
+    ]
+    duck_vals = [
+        duckdb.sql(f"SELECT {kmv_hash_sql(repr(w))} AS h").fetchone()[0]
+        for w in words
+    ]
+    assert spark_vals == duck_vals
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+
+def test_leakage_safe_split_stable_and_unit_atomic(spark):
+    from crawler_spark.textops.corpusfilter import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"host{i % 25}", 100 + i) for i in range(200)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r.unit: r for r in leakage_safe_split(docs).collect()}
+    assert len(out) == 25
+    for r in out.values():
+        assert 0 <= r.bucket < 100
+        assert r.split == (
+            "train" if r.bucket < 80 else "val" if r.bucket < 90 else "test"
+        )
+        assert r.n_docs == 8
+    # growing the corpus never reassigns an existing unit
+    bigger = docs.union(
+        spark.createDataFrame(
+            [(1000 + i, f"host{i % 25}", 7) for i in range(50)],
+            "doc_id long, source string, n_chars long",
+        )
+    )
+    out2 = {r.unit: r for r in leakage_safe_split(bigger).collect()}
+    for u, r in out.items():
+        assert out2[u].split == r.split and out2[u].bucket == r.bucket
+    # doc counts grew, proving the units absorbed the new docs in place
+    assert all(out2[u].n_docs == 10 for u in out)
+
+
+def test_leakage_safe_split_proportions_roughly_hold(spark):
+    from crawler_spark.textops.corpusfilter import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"site-{i}", 1) for i in range(2000)],
+        "doc_id long, source string, n_chars long",
+    )
+    counts = {
+        r.split: r.n
+        for r in leakage_safe_split(docs)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts["train"] == pytest.approx(1600, rel=0.1)
+    assert counts["val"] == pytest.approx(200, rel=0.35)
+    assert counts["test"] == pytest.approx(200, rel=0.35)
