@@ -944,15 +944,19 @@ def _occ(t: str, w: str) -> str:
     return _OCC.format(t=t, w=w, n=len(w) + 1)
 
 
-def _md5_prefix_sql(elem_sql: str, nibbles: int) -> str:
-    """ANSI spelling of Spark's conv(substring(md5(x),1,n),16,10):
+def _md5_slice_sql(elem_sql: str, start: int, nibbles: int) -> str:
+    """ANSI spelling of Spark's conv(substring(md5(x),start,n),16,10):
     nibble-by-nibble strpos arithmetic, bit-identical in any engine."""
     terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({elem_sql}), {p}, 1)) - 1)"
-        f" * {16 ** (nibbles - p)}"
-        for p in range(1, nibbles + 1)
+        f"(strpos('0123456789abcdef', substr(md5({elem_sql}), {start + i}, 1))"
+        f" - 1) * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
     )
     return f"CAST({terms} AS BIGINT)"
+
+
+def _md5_prefix_sql(elem_sql: str, nibbles: int) -> str:
+    return _md5_slice_sql(elem_sql, 1, nibbles)
 
 
 def _kmv_hash_sql(elem_sql: str) -> str:
@@ -1011,8 +1015,19 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1000, offset: int = 2) 
 # shared minhash CTE chain (signatures → band keys → bucket-capped pairs);
 # the 64-doc bucket cap mirrors crawler_spark.textops.dedup.minhash_lsh_pairs:
 # small buckets emit exact all-pairs, mega-buckets emit star edges to the
-# min-id representative (the quadratic-blowup guard).
-_MINHASH_CTES = """
+# min-id representative (the quadratic-blowup guard). The hash family is
+# imported from the engine so Spark and SQL can never drift: ONE md5 per
+# gram (13 nibbles → 52-bit int → mod 2^31-1), then 16 Carter-Wegman
+# multiply-adds.
+from crawler_spark.textops.dedup import MINHASH_AB as _MH_AB  # noqa: E402
+from crawler_spark.textops.dedup import MINHASH_P as _MH_P  # noqa: E402
+
+_MH_SEED_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(_MH_AB)
+)
+_MD5_NIB14_26 = _md5_slice_sql("g", 14, 13)  # the h2 base (md5 slice 14-26)
+
+_MINHASH_CTES = f"""
     words AS (
       SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
     grams AS (
@@ -1021,15 +1036,20 @@ _MINHASH_CTES = """
       WHERE len(w) >= 3
       UNION ALL
       SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
-    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    gh AS (
+      SELECT doc_id, ({_md5_prefix_sql("g", 13)}) % {_MH_P} AS h1,
+             ({_MD5_NIB14_26}) % {_MH_P} AS h2
+      FROM grams),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS v(seed, a, b)),
     sigs AS (
-      SELECT doc_id, seed, min(md5(seed || ':' || g)) AS sig
-      FROM grams CROSS JOIN seeds GROUP BY doc_id, seed),
+      SELECT doc_id, seed,
+             min(((h1 * a) % {_MH_P} + (h2 * b) % {_MH_P}) % {_MH_P}) AS sig
+      FROM gh CROSS JOIN seeds GROUP BY doc_id, seed),
     bands AS (
       -- NB: // (floor division) — plain / is float division in DuckDB
       -- and CAST rounds, which would scramble band membership
       SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-             string_agg(sig, ',' ORDER BY seed) AS band_key
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed) AS band_key
       FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)),
     sized AS (
       SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands),
@@ -1404,7 +1424,7 @@ def oracle_sql() -> dict[str, str]:
               FROM occ o CROSS JOIN st s)
             WHERE bm25 > 0
         """,
-        "minhash_signatures": """
+        "minhash_signatures": f"""
             WITH words AS (
               SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
             grams AS (
@@ -1413,9 +1433,15 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(w) >= 3
               UNION ALL
               SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
-            seeds AS (SELECT unnest(range(0, 16)) AS seed)
-            SELECT doc_id, CAST(seed AS INT) AS seed, min(md5(seed || ':' || g)) AS sig
-            FROM grams CROSS JOIN seeds GROUP BY doc_id, seed
+            gh AS (
+              SELECT doc_id, ({_md5_prefix_sql("g", 13)}) % {_MH_P} AS h1,
+                     ({_MD5_NIB14_26}) % {_MH_P} AS h2
+              FROM grams),
+            seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS v(seed, a, b))
+            SELECT doc_id, CAST(seed AS INT) AS seed,
+                   min(((h1 * a) % {_MH_P} + (h2 * b) % {_MH_P}) % {_MH_P})
+                     AS sig
+            FROM gh CROSS JOIN seeds GROUP BY doc_id, seed
         """,
         "minhash_lsh_pairs": f"""
             WITH {_MINHASH_CTES}

@@ -5,17 +5,68 @@ SimHash. Designed for the 100TB regime: everything is built-in JVM
 expressions (md5/xxhash64/bit ops inside whole-stage codegen) — no Python in
 the hot path; the only shuffles are the dedup groupBys themselves.
 
-MinHash uses *lexicographic-min of md5 hex strings* as the hash family:
-portable across engines (the DuckDB oracle computes the identical
-signature), seed-parameterized via prefix. Production note: at 10^10 docs
-the band-bucket join is salted on bucket and AQE skew-join handles hot
-buckets (boilerplate-heavy corpora produce mega-buckets).
+MinHash uses a Carter-Wegman universal hash family over ONE md5 per
+shingle: the gram is hashed once, two independent 52-bit base values are
+read from the digest (hex nibbles 1-13 and 14-26) and reduced mod the
+Mersenne prime p = 2^31-1, and the 16 per-seed values are
+``(a_i*h1 + b_i*h2) mod p`` with frozen coefficients — 16 integer
+multiply-adds instead of 16 md5 digests per gram (the round-2 family
+md5'd every (seed, gram) pair; same estimator, 1/16th the hashing, and
+BIGINT agg state instead of 32-char strings). Two bases, not one: a
+single-base affine family correlates the 16 mins (every seed preserves
+information about the same h), which inflates LSH band collisions on
+small shingle sets; the 2D projection restores near-independence across
+seeds and gives each gram a 62-bit identity. Portable across engines:
+the DuckDB oracle computes the identical signature from the identical
+constants via nibble arithmetic.
+Production note: at 10^10 docs the band-bucket join is salted on bucket
+and AQE skew-join handles hot buckets (boilerplate-heavy corpora produce
+mega-buckets).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Carter-Wegman coefficients, frozen (random.Random(0xC0FFEE)); the oracle
+# (__spark_entry__) imports these so Spark and SQL can never drift.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne): a*h+b stays < 2^62
+MINHASH_AB = (
+    (2058367755, 1250378731), (1328920189, 372282286),
+    (35052690, 260070992), (1425365892, 920539464),
+    (409468654, 638079615), (1652464807, 2033713062),
+    (1010120343, 873091422), (910172515, 1362467471),
+    (1577225783, 708511551), (1389507383, 1784693824),
+    (2003597556, 347112816), (2133395955, 1638263921),
+    (1962772767, 908613595), (1364526543, 932472842),
+    (1976978008, 656157898), (1457334632, 212322978),
+)
+
+# the two base hashes: independent 52-bit md5 slices reduced into the
+# prime field (one digest, two reads)
+_GRAM_H1 = (
+    f"CAST(conv(substring(md5(g), 1, 13), 16, 10) AS BIGINT) % {MINHASH_P}"
+)
+_GRAM_H2 = (
+    f"CAST(conv(substring(md5(g), 14, 13), 16, 10) AS BIGINT) % {MINHASH_P}"
+)
+
+
+def _seed_min_cols(n_hashes: int):
+    """The n_hashes ``min((a_i*h1 + b_i*h2) mod p)`` aggregate columns over
+    a frame carrying h1/h2. Each product term is reduced mod p before the
+    sum so the arithmetic never nears BIGINT overflow in any engine."""
+    assert n_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more seeds"
+    return [
+        F.min(
+            F.expr(
+                f"((h1 * {a}) % {MINHASH_P} + (h2 * {b}) % {MINHASH_P})"
+                f" % {MINHASH_P}"
+            )
+        ).alias(f"s{s}")
+        for s, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -44,24 +95,28 @@ def minhash_signatures(
     df: DataFrame, n_hashes: int = 16, gram: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, seed, sig): sig = min over shingles of md5(seed || ':' || shingle).
+    """(id, seed, sig): sig = min over shingles of the universal hash
+    ``(a_seed*h1 + b_seed*h2) mod p`` (BIGINT; module header).
 
-    The seed dimension is a 16-row broadcast cross join; the min-agg does
-    map-side partial aggregation, so the shuffle is |docs| × n_hashes tiny
-    rows.
+    ONE md5 per gram; the seed dimension is derived by 16 codegen
+    multiply-adds over the shared (h1, h2) columns — no per-seed
+    digests. The wide 16-column min-agg does map-side partial
+    aggregation, so the shuffle is |docs| rows of 16 longs; the long
+    format is unpivoted from it without a second aggregation.
     """
-    spark = df.sparkSession
-    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
     grams = df.select(F.col(id_col), F.explode(_grams_col(text_col, gram)).alias("g"))
-    return (
-        grams.join(F.broadcast(seeds))
-        .select(
-            id_col,
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("g"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("sig"))
+    hashed = grams.select(
+        id_col, F.expr(_GRAM_H1).alias("h1"), F.expr(_GRAM_H2).alias("h2")
+    )
+    wide = hashed.groupBy(id_col).agg(*_seed_min_cols(n_hashes))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(s).cast("int").alias("seed"), F.col(f"s{s}").alias("sig"))
+            for s in range(n_hashes)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.seed", "p.sig"
     )
 
 
@@ -75,16 +130,14 @@ def _band_keys(
     cross-join row blowup, no second (doc,seed)-shuffled aggregation, and
     no collect_list+sort (seed order is static, so the band key is a plain
     column concat). Values are identical to minhash_signatures' (same
-    md5(seed:gram) family); the oracle and the standalone signatures query
+    universal (a*h1+b*h2) mod p family); the oracle and the signatures query
     pin that equality."""
     rows_per_band = n_hashes // bands
     grams = df.select(F.col(id_col), F.explode(_grams_col(text_col, gram)).alias("g"))
-    sigs_wide = grams.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"s{s}")
-            for s in range(n_hashes)
-        ]
+    hashed = grams.select(
+        id_col, F.expr(_GRAM_H1).alias("h1"), F.expr(_GRAM_H2).alias("h2")
     )
+    sigs_wide = hashed.groupBy(id_col).agg(*_seed_min_cols(n_hashes))
     band_structs = F.array(
         *[
             F.struct(

@@ -187,7 +187,13 @@ def test_minhash_megabucket_no_quadratic_blowup(spark):
     from crawler_spark.textops.dedup import minhash_lsh_pairs
 
     rows = [(i, "boiler plate text that repeats verbatim on every page") for i in range(1000)]
-    rows += [(10_000 + i, f"unique document number {i} with its own words here") for i in range(20)]
+    # fully-disjoint shingle sets: J=0, so NO family may band-collide them
+    # (earlier texts shared 40% of their shingles, which pinned the hash
+    # constants' luck, not the operator — J=0.4 docs MAY legitimately pair)
+    rows += [
+        (10_000 + i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(20)
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = minhash_lsh_pairs(df, max_bucket=64).collect()
     boiler = [p for p in pairs if p.id_a < 1000 and p.id_b < 1000]
