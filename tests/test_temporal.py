@@ -268,3 +268,47 @@ def test_leakage_safe_split_proportions_roughly_hold(spark):
     assert counts["train"] == pytest.approx(1600, rel=0.1)
     assert counts["val"] == pytest.approx(200, rel=0.35)
     assert counts["test"] == pytest.approx(200, rel=0.35)
+
+
+def test_asof_join_matches_naive_argmax_on_random_data(spark):
+    """Seeded randomized differential test: the union-tag window as-of
+    join must equal the naive (quadratic) definition — for each left
+    row, the right row with the greatest (ts, event_id) strictly below
+    the left's (ts, event_id) within the key — on data with duplicate
+    timestamps, keys with no right rows, and keys with no left rows."""
+    import random
+
+    from crawler_spark.operators.temporal import asof_join
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 5, 1)
+    # duplicate-heavy timestamps: only 40 distinct seconds over 300 rows
+    left = [
+        (i, base + dt.timedelta(seconds=rng.randrange(40)), f"k{rng.randrange(12)}")
+        for i in range(0, 300, 2)
+    ]
+    right = [
+        (i, base + dt.timedelta(seconds=rng.randrange(40)),
+         f"k{rng.randrange(14)}", float(i))
+        for i in range(1, 300, 2)
+    ]
+    ldf = spark.createDataFrame(left, "event_id long, ts timestamp, key string")
+    rdf = spark.createDataFrame(
+        right, "event_id long, ts timestamp, key string, value double"
+    )
+    out = {
+        r.event_id: r.asof_value
+        for r in asof_join(ldf, rdf, "key", ("ts", "event_id"), ("value",)).collect()
+    }
+    assert len(out) == len(left)
+    rights_by_key = {}
+    for rid, rts, rk, rv in right:
+        rights_by_key.setdefault(rk, []).append((rts, rid, rv))
+    for lid, lts, lk in left:
+        before = [
+            (rts, rid, rv)
+            for rts, rid, rv in rights_by_key.get(lk, [])
+            if (rts, rid) < (lts, lid)
+        ]
+        expect = max(before)[2] if before else None
+        assert out[lid] == expect, (lid, lk, lts)

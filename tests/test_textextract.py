@@ -310,3 +310,68 @@ def test_tree_builder_seam():
     finally:
         assert dom.set_tree_builder(prev) is not None  # ours was installed
     assert dom._tree_builder is prev
+
+
+def test_lxml_walker_against_duck_typed_tree():
+    """The lxml tree walker is pinned against a duck-typed etree fake:
+    elements, nested children, attributes, text/tail placement, comment
+    nodes (non-str tag), and script raw text."""
+    from crawler_spark.htmlkit.backends import convert_lxml_node
+
+    class FakeEl:
+        def __init__(self, tag, attrib=None, text=None, tail=None, children=()):
+            self.tag, self.attrib = tag, attrib or {}
+            self.text, self.tail = text, tail
+            self._children = list(children)
+
+        def __iter__(self):
+            return iter(self._children)
+
+    comment = FakeEl(lambda: None, text=" hidden ")
+    tree = FakeEl(
+        "HTML", text=None, children=[
+            FakeEl("body", text="lead ", children=[
+                FakeEl("p", {"class": "x"}, text="para", tail=" mid "),
+                comment,
+                FakeEl("script", text="var a = '<not text>';", tail="end"),
+            ]),
+        ],
+    )
+    el = convert_lxml_node(tree)
+    assert el._name == "html"  # tag lowercased
+    body = el.find_first("body")
+    txt = node_descendant_text(body)
+    assert "lead" in txt and "para" in txt and "mid" in txt and "end" in txt
+    assert "hidden" not in txt  # comments are Comment nodes, not text
+    p = body.find_first("p")
+    assert p.attr("class") == "x"
+    script = body.find_first("script")
+    # raw script text is preserved on the node (node_descendant_text
+    # excludes script/style by extraction semantics, so check the child)
+    assert any(
+        getattr(c, "data", "") == "var a = '<not text>';"
+        for c in script.children
+    )
+
+
+def test_install_best_backend_absent_is_noop():
+    """Without lxml/selectolax in the container the installer returns
+    None and the built-in parser remains in charge."""
+    from crawler_spark.htmlkit import backends
+
+    try:
+        import lxml  # noqa: F401
+        has_lxml = True
+    except ImportError:
+        has_lxml = False
+    installed = backends.install_best_backend()
+    try:
+        if has_lxml:
+            assert installed == "lxml"
+            doc = dom.parse("<p>via backend</p>")
+            assert "via backend" in node_descendant_text(doc.find_first("body"))
+        else:
+            assert installed is None
+            assert dom._tree_builder is None
+    finally:
+        dom.set_tree_builder(None)
