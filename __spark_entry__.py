@@ -844,6 +844,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return leakage_safe_split(_t(spark, sf, "documents"))
 
+    def bpe_merges_q(spark, sf):
+        # distributed BPE tokenizer training (Sennrich ACL'16): 3 merge
+        # iterations over the Zipf-small word-frequency table, one argmax
+        # row to the driver per iteration — the corpus is scanned ONCE
+        from crawler_spark.textops.tokenizer import bpe_train
+
+        return bpe_train(_t(spark, sf, "documents"), iters=3, top_k=5)
+
     return {
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
@@ -919,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_timegrain": rollup_q,
         "kmv_distinct": kmv_q,
         "host_split": host_split_q,
+        "bpe_merges": bpe_merges_q,
     }
 
 
@@ -1187,6 +1196,12 @@ def _pagerank_oracle(iterations: int = 3, damping: int = 85, scale: int = 1_000_
               FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iterations}"
+
+
+def _bpe_sql(table: str, text_col: str, iters: int, top_k: int) -> str:
+    from crawler_spark.textops.tokenizer import bpe_train_sql
+
+    return bpe_train_sql(table, text_col, iters, top_k)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2377,4 +2392,5 @@ def oracle_sql() -> dict[str, str]:
                    n_docs, total_chars
             FROM b
         """,
+        "bpe_merges": _bpe_sql("documents", "text", 3, 5),
     }

@@ -108,6 +108,7 @@ HEADLINE = [
     "rollup_timegrain",
     "kmv_distinct",
     "host_split",
+    "bpe_merges",
 ]
 
 

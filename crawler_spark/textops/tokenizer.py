@@ -1,0 +1,177 @@
+"""Distributed BPE tokenizer training (Sennrich et al., ACL 2016).
+
+The first stage of any LLM data pipeline that ships its own tokenizer:
+iteratively merge the corpus's most frequent adjacent symbol pair,
+starting from characters. The classic trainer is a single-machine loop
+over a word-frequency dictionary (the HuggingFace ``tokenizers`` shape);
+this is the same algorithm expressed Spark-first:
+
+1. ONE corpus pass builds the (word, freq) table — Zipf-small relative
+   to the token stream (a 100 TB corpus has a few hundred million
+   distinct words, not 10^13). Every later iteration runs on this
+   compressed table and NEVER rescans the corpus.
+2. Each merge iteration is: adjacent-pair explode over the symbol
+   strings (weighted by word freq, map-side combined) → one argmax row
+   to the driver (the k-means precedent: k·dims rows per iter there,
+   ONE row here) → a literal ``replace`` projection applying the merge
+   corpus-wide. All whole-stage codegen; the per-iteration shuffle is
+   the pair-count aggregate over the vocabulary, not the corpus.
+
+Symbols are space-delimited inside a padded string ( `` h e l l o `` );
+a merge replaces ``' x y '`` with ``' xy '``, applied TWICE: consecutive
+occurrences share their delimiter space, so a single left-to-right
+``replace`` pass takes only the alternating ones ( `` x y x y `` →
+`` xy x y `` ) — the second pass merges the now-isolated rest, which
+reproduces BPE's canonical leftmost-greedy behavior for runs of any
+length. ``replace`` semantics are identical in Spark and ANSI SQL, so
+the whole training run — pair counts, tie-breaks (count DESC, pair
+ASC), and the merged vocab — replays bit-identically in the DuckDB
+oracle. Integer counts only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+MERGE_SCHEMA = StructType([
+    StructField("iter", IntegerType(), False),
+    StructField("rank", IntegerType(), False),
+    StructField("lhs", StringType(), False),
+    StructField("rhs", StringType(), False),
+    StructField("pair_count", LongType(), False),
+    StructField("merged", BooleanType(), False),
+])
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus's (word, freq) dictionary — the one corpus-sized pass."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """freq-weighted adjacent-pair counts over the symbol strings."""
+    syms = F.split(F.trim(F.col("sym")), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(split(trim(sym), ' ')) - 1), "
+        "i -> concat(element_at(split(trim(sym), ' '), i), ' ', "
+        "element_at(split(trim(sym), ' '), i + 1)))"
+    )
+    return (
+        vocab.filter(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    iters: int = 3,
+    top_k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``iters`` BPE merges; return the per-iteration pair ranking.
+
+    Output: one row per (iteration, rank<=top_k) — the iteration's
+    ``top_k`` most frequent adjacent pairs with exact counts, rank 1
+    being the pair that was merged (``merged`` true). Returning the
+    ranking rather than just the merge makes the whole per-iteration
+    aggregate oracle-checkable, not only its argmax.
+
+    Driver traffic: ``top_k`` rows per iteration (the merge decision is
+    inherently sequential — each iteration's counts depend on the
+    previous merge — so BPE's driver loop is the algorithm, not a
+    shortcut; k-means in this repo works the same way with k·dims rows).
+    """
+    spark = df.sparkSession
+    vocab = word_freq_table(df, text_col).select(
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" ")
+        ).alias("sym"),
+        "freq",
+    )
+    # the vocab table is Zipf-small: keep it materialized across the
+    # sequential iterations instead of recomputing the corpus explode
+    vocab = vocab.localCheckpoint(eager=True)
+    out_rows = []
+    for it in range(iters):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(top_k)
+            .collect()
+        )
+        if not top:
+            break
+        for rank, row in enumerate(top, start=1):
+            left, right = row.pair.split(" ", 1)
+            out_rows.append(
+                (it, rank, left, right, int(row.cnt), rank == 1)
+            )
+        x, y = top[0].pair.split(" ", 1)
+        pat, rep = F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
+        vocab = vocab.withColumn(
+            "sym",
+            F.replace(F.replace(F.col("sym"), pat, rep), pat, rep),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(out_rows, MERGE_SCHEMA)
+
+
+def bpe_train_sql(table: str = "documents", text_col: str = "text",
+                  iters: int = 3, top_k: int = 5) -> str:
+    """The unrolled ANSI-SQL replay of :func:`bpe_train` (DuckDB oracle):
+    iteration i's vocab CTE applies iteration i-1's argmax merge via the
+    same scalar-subquery replace, so counts, tie-breaks, and ranks are
+    bit-identical to the Spark run."""
+    ctes = [
+        f"""wf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table})
+          WHERE length(w) > 0 GROUP BY w)""",
+        """v0 AS (
+          SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                   AS sym, freq
+          FROM wf)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""p{i} AS (
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT array_to_string(s[j:j+1], ' ') AS pair, freq FROM (
+              SELECT string_split(trim(sym), ' ') AS s, freq FROM v{i}
+              WHERE len(string_split(trim(sym), ' ')) >= 2),
+            UNNEST(range(1, len(s))) AS t(j))
+          GROUP BY pair)""")
+        ctes.append(f"""r{i} AS (
+          SELECT pair, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk
+          FROM p{i})""")
+        if i + 1 < iters:
+            pat = f"' ' || (SELECT pair FROM r{i} WHERE rnk = 1) || ' '"
+            rep = (
+                f"' ' || (SELECT replace(pair, ' ', '') "
+                f"FROM r{i} WHERE rnk = 1) || ' '"
+            )
+            ctes.append(f"""v{i + 1} AS (
+              SELECT replace(replace(sym, {pat}, {rep}), {pat}, {rep})
+                       AS sym,
+                     freq
+              FROM v{i})""")
+    selects = [
+        f"""SELECT {i} AS iter, CAST(rnk AS INT) AS rank,
+                   string_split(pair, ' ')[1] AS lhs,
+                   array_to_string(string_split(pair, ' ')[2:], ' ')
+                     AS rhs,
+                   cnt AS pair_count, rnk = 1 AS merged
+            FROM r{i} WHERE rnk <= {top_k}"""
+        for i in range(iters)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
