@@ -844,6 +844,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return leakage_safe_split(_t(spark, sf, "documents"))
 
+    def bpe_vocab_q(spark, sf):
+        # train-then-tokenize end to end: encode the corpus under the 3
+        # trained merges and rank the resulting vocabulary (exact counts)
+        from crawler_spark.textops.tokenizer import bpe_vocab_counts
+
+        return bpe_vocab_counts(_t(spark, sf, "documents"), iters=3, top_k=50)
+
     def bpe_merges_q(spark, sf):
         # distributed BPE tokenizer training (Sennrich ACL'16): 3 merge
         # iterations over the Zipf-small word-frequency table, one argmax
@@ -928,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": kmv_q,
         "host_split": host_split_q,
         "bpe_merges": bpe_merges_q,
+        "bpe_vocab": bpe_vocab_q,
     }
 
 
@@ -1202,6 +1210,12 @@ def _bpe_sql(table: str, text_col: str, iters: int, top_k: int) -> str:
     from crawler_spark.textops.tokenizer import bpe_train_sql
 
     return bpe_train_sql(table, text_col, iters, top_k)
+
+
+def _bpe_encode_sql(table: str, text_col: str, iters: int, top_k: int) -> str:
+    from crawler_spark.textops.tokenizer import bpe_encode_sql
+
+    return bpe_encode_sql(table, text_col, iters, top_k)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2393,4 +2407,5 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "bpe_merges": _bpe_sql("documents", "text", 3, 5),
+        "bpe_vocab": _bpe_encode_sql("documents", "text", 3, 50),
     }

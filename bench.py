@@ -109,6 +109,7 @@ HEADLINE = [
     "kmv_distinct",
     "host_split",
     "bpe_merges",
+    "bpe_vocab",
 ]
 
 

@@ -126,12 +126,10 @@ def bpe_train(
     return spark.createDataFrame(out_rows, MERGE_SCHEMA)
 
 
-def bpe_train_sql(table: str = "documents", text_col: str = "text",
-                  iters: int = 3, top_k: int = 5) -> str:
-    """The unrolled ANSI-SQL replay of :func:`bpe_train` (DuckDB oracle):
-    iteration i's vocab CTE applies iteration i-1's argmax merge via the
-    same scalar-subquery replace, so counts, tie-breaks, and ranks are
-    bit-identical to the Spark run."""
+def _bpe_ctes(table: str, text_col: str, iters: int) -> list:
+    """Shared CTE chain: word-freq dict, char vocab v0, and for each
+    iteration i the pair counts p{i}, ranking r{i}, and merged vocab
+    v{i+1} (always emitted so encode oracles can read v{iters})."""
     ctes = [
         f"""wf AS (
           SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -154,17 +152,26 @@ def bpe_train_sql(table: str = "documents", text_col: str = "text",
           SELECT pair, cnt,
                  row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk
           FROM p{i})""")
-        if i + 1 < iters:
-            pat = f"' ' || (SELECT pair FROM r{i} WHERE rnk = 1) || ' '"
-            rep = (
-                f"' ' || (SELECT replace(pair, ' ', '') "
-                f"FROM r{i} WHERE rnk = 1) || ' '"
-            )
-            ctes.append(f"""v{i + 1} AS (
-              SELECT replace(replace(sym, {pat}, {rep}), {pat}, {rep})
-                       AS sym,
-                     freq
-              FROM v{i})""")
+        pat = f"' ' || (SELECT pair FROM r{i} WHERE rnk = 1) || ' '"
+        rep = (
+            f"' ' || (SELECT replace(pair, ' ', '') "
+            f"FROM r{i} WHERE rnk = 1) || ' '"
+        )
+        ctes.append(f"""v{i + 1} AS (
+          SELECT replace(replace(sym, {pat}, {rep}), {pat}, {rep})
+                   AS sym,
+                 freq
+          FROM v{i})""")
+    return ctes
+
+
+def bpe_train_sql(table: str = "documents", text_col: str = "text",
+                  iters: int = 3, top_k: int = 5) -> str:
+    """The unrolled ANSI-SQL replay of :func:`bpe_train` (DuckDB oracle):
+    iteration i's vocab CTE applies iteration i-1's argmax merge via the
+    same scalar-subquery replace, so counts, tie-breaks, and ranks are
+    bit-identical to the Spark run."""
+    ctes = _bpe_ctes(table, text_col, iters)
     selects = [
         f"""SELECT {i} AS iter, CAST(rnk AS INT) AS rank,
                    string_split(pair, ' ')[1] AS lhs,
@@ -175,3 +182,76 @@ def bpe_train_sql(table: str = "documents", text_col: str = "text",
         for i in range(iters)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_vocab_counts(
+    df: DataFrame,
+    iters: int = 3,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``iters`` merges, ENCODE the corpus under them, and return
+    the top-``top_k`` tokens of the resulting vocabulary with exact
+    corpus counts — the end-to-end train-then-tokenize pipeline.
+
+    Encoding never touches the corpus either: token counts are the
+    freq-weighted symbol counts of the merged word-frequency table, so
+    the whole train+encode run costs one corpus pass total. The merges
+    arrive as driver literals, so the encode is a static chain of
+    ``iters`` double-``replace`` projections in whole-stage codegen —
+    at 100 TB, applying a full 50k-merge vocabulary batches the chain
+    through an Arrow ``mapInPandas`` tokenizer instead (the
+    ``score_with_model`` broadcast pattern); the literal chain is the
+    oracle-exact small-vocab path.
+    """
+    from pyspark.sql import Window
+
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(df, iters=iters, top_k=1, text_col=text_col)
+        .filter("merged").orderBy("iter").collect()
+    ]
+    vocab = word_freq_table(df, text_col).select(
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" ")
+        ).alias("sym"),
+        "freq",
+    )
+    sym = F.col("sym")
+    for x, y in merges:
+        pat, rep = F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
+        sym = F.replace(F.replace(sym, pat, rep), pat, rep)
+    counts = (
+        vocab.select(sym.alias("sym"), "freq")
+        .select(F.explode(F.split(F.trim("sym"), " ")).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("token", "n", "rank")
+    )
+
+
+def bpe_encode_sql(table: str = "documents", text_col: str = "text",
+                   iters: int = 3, top_k: int = 50) -> str:
+    """Unrolled oracle for :func:`bpe_vocab_counts`: the shared CTE chain
+    through v{iters}, then freq-weighted token counts + deterministic
+    global ranking."""
+    ctes = _bpe_ctes(table, text_col, iters)
+    ctes.append(f"""tc AS (
+      SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(trim(sym), ' ')) AS token, freq
+        FROM v{iters})
+      GROUP BY token)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT token, n, rank FROM (
+          SELECT token, n,
+                 CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT)
+                   AS rank
+          FROM tc)
+        WHERE rank <= {top_k}"""
+    )

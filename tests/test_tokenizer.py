@@ -81,3 +81,49 @@ def test_bpe_multichar_merges_chain(spark):
     'es t' -> 'est' chain) identically to the reference."""
     texts = ["test tests testing", "rest rests resting", "best bests"]
     assert _spark_bpe(spark, texts, 5, 5) == _ref_bpe(texts, 5, 5)
+
+
+def test_bpe_vocab_counts_match_reference_encoding(spark):
+    """Train-then-tokenize: corpus token counts under the trained merges
+    equal an independent reference encoder (merges applied in training
+    order, each leftmost-greedy)."""
+    from crawler_spark.textops.tokenizer import bpe_vocab_counts
+
+    texts = [
+        "the theme of the thesis hahahaha",
+        "then the weather thinned haha",
+        "other lather bother hahaha",
+    ]
+    iters = 4
+    merges = [(r[2], r[3]) for r in _ref_bpe(texts, iters, 1) if r[5]]
+
+    def encode(word):
+        syms = list(word)
+        for x, y in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    ns.append(x + y)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        return syms
+
+    ref = Counter(
+        tok for t in texts for w in t.split(" ") if w for tok in encode(w)
+    )
+    ranked = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [
+        (tok, c, rank) for rank, (tok, c) in enumerate(ranked[:50], start=1)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.token, r.n, r.rank)
+        for r in bpe_vocab_counts(df, iters=iters, top_k=50)
+        .orderBy("rank").collect()
+    ]
+    assert got == expect
