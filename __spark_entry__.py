@@ -1036,8 +1036,16 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1000, offset: int = 2) 
 # imported from the engine so Spark and SQL can never drift: ONE md5 per
 # gram (13 nibbles → 52-bit int → mod 2^31-1), then 16 Carter-Wegman
 # multiply-adds.
-from crawler_spark.textops.dedup import MINHASH_AB as _MH_AB  # noqa: E402
-from crawler_spark.textops.dedup import MINHASH_P as _MH_P  # noqa: E402
+try:
+    from crawler_spark.textops.dedup import MINHASH_AB as _MH_AB  # noqa: E402
+    from crawler_spark.textops.dedup import MINHASH_P as _MH_P  # noqa: E402
+except ImportError:  # driver ran this file outside the repo cwd
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from crawler_spark.textops.dedup import MINHASH_AB as _MH_AB  # noqa: E402
+    from crawler_spark.textops.dedup import MINHASH_P as _MH_P  # noqa: E402
 
 _MH_SEED_VALUES = ", ".join(
     f"({s}, {a}, {b})" for s, (a, b) in enumerate(_MH_AB)
