@@ -851,6 +851,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_vocab_counts(_t(spark, sf, "documents"), iters=3, top_k=50)
 
+    def containment_q(spark, sf):
+        # asymmetric shingle containment over shared-chunk candidates:
+        # catches quote/subset duplication Jaccard-banded LSH misses
+        from crawler_spark.textops.dedup import containment_pairs
+
+        return containment_pairs(_t(spark, sf, "documents"), chunk_tokens=8)
+
     def bpe_merges_q(spark, sf):
         # distributed BPE tokenizer training (Sennrich ACL'16): 3 merge
         # iterations over the Zipf-small word-frequency table, one argmax
@@ -934,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_timegrain": rollup_q,
         "kmv_distinct": kmv_q,
         "host_split": host_split_q,
+        "containment_pairs": containment_q,
         "bpe_merges": bpe_merges_q,
         "bpe_vocab": bpe_vocab_q,
     }
@@ -2413,6 +2421,46 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    n_docs, total_chars
             FROM b
+        """,
+        "containment_pairs": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            c AS (
+              SELECT doc_id,
+                     [md5(array_to_string(
+                        tk[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' '))
+                      for i in range(0, CAST(ceil(len(tk)/8.0) AS INT))] AS fps
+              FROM t),
+            occ AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM c),
+            szs AS (SELECT fp, count(*) AS cnt FROM occ GROUP BY fp),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM occ a
+              JOIN szs s ON s.fp = a.fp AND s.cnt <= 64
+              JOIN occ b ON b.fp = a.fp AND a.doc_id < b.doc_id),
+            words AS (
+              SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+            gd AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3
+                UNION ALL
+                SELECT doc_id, text AS g FROM words WHERE len(w) < 3)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                      FROM gd GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
+              FROM cand p
+              JOIN gd a ON a.doc_id = p.id_a
+              JOIN gd b ON b.doc_id = p.id_b AND b.g = a.g
+              GROUP BY p.id_a, p.id_b)
+            SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+                   inter * 10000 // sa.n AS cont_a_bp,
+                   inter * 10000 // sb.n AS cont_b_bp
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
         """,
         "bpe_merges": _bpe_sql("documents", "text", 3, 5),
         "bpe_vocab": _bpe_encode_sql("documents", "text", 3, 50),

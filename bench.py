@@ -110,6 +110,7 @@ HEADLINE = [
     "host_split",
     "bpe_merges",
     "bpe_vocab",
+    "containment_pairs",
 ]
 
 

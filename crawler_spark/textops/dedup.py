@@ -769,3 +769,90 @@ def cdc_chunks(
     return occ.join(owners, "fp").select(
         id_col, "chunk_idx", "n_toks", "fp", "n_owners"
     )
+
+
+def containment_pairs(
+    df: DataFrame, chunk_tokens: int = 8, gram: int = 3, max_bucket: int = 64,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Shingle CONTAINMENT per candidate pair — the asymmetric companion
+    to Jaccard: ``C(A in B) = |S(A) ∩ S(B)| / |S(A)|``. A short document
+    quoted wholesale inside a long one has near-1.0 containment but low
+    Jaccard, so minhash bands (which estimate Jaccard) never collide it;
+    this operator catches exactly that quote/subset duplication
+    (Broder's "containment" from the original resemblance paper,
+    SEQUENCES'97).
+
+    Candidates come from shared chunk fingerprints (``chunk_tokens``-token
+    exact chunks, the chunk_dedup family): any wholesale quote of at
+    least one chunk makes the pair a candidate — no cross product.
+    Chunk fps repeated across more than ``max_bucket`` docs are dropped
+    from candidate generation (corpus boilerplate — the same quadratic
+    guard as the minhash mega-bucket cap; boilerplate containment is
+    noise, and chunk-level boilerplate has its own operator).
+
+    Output (integers only): ``(id_a, id_b, inter, n_a, n_b,
+    cont_a_bp, cont_b_bp)`` with containment in basis points via BIGINT
+    division — bit-exact in any engine.
+
+    Scale shape: the chunk-fp explode and the shingle explode are each
+    computed once and persisted; candidate generation is a self-join on
+    the uniform md5 fp bounded by ``max_bucket``; the verify stage runs
+    only over candidate pairs (LSH-verify precedent).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " ")
+        ),
+    )
+    occ = (
+        df.select(F.col(id_col), F.explode(chunks).alias("fp"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    small = occ.join(
+        occ.groupBy("fp").agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= max_bucket),
+        "fp",
+    )
+    cand = (
+        small.select(F.col(id_col).alias("id_a"), "fp")
+        .join(small.select(F.col(id_col).alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    grams = (
+        df.select(F.col(id_col), F.explode(_grams_col(text_col, gram)).alias("g"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(grams.withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(grams.withColumnRenamed(id_col, "id_b"), ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "inter",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("inter * 10000 DIV n_a").alias("cont_a_bp"),
+            F.expr("inter * 10000 DIV n_b").alias("cont_b_bp"),
+        )
+    )

@@ -697,3 +697,41 @@ def test_postings_topk_impact_order(spark):
     # tf desc, doc asc; k=2 truncates doc 3
     assert out["a"]["postings"] == "1:3,2:1"
     assert out["b"]["postings"] == "2:2,1:1"
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a much longer one: containment
+    of the short side is ~100% while Jaccard is low (so minhash bands
+    never collide it) — the asymmetric operator must surface the pair
+    with the right direction."""
+    from crawler_spark.textops.dedup import containment_pairs, minhash_lsh_pairs
+
+    quote = " ".join(f"quoted sentence token{i} alpha beta" for i in range(4))
+    long_doc = (
+        " ".join(f"long document filler word{i} gamma delta" for i in range(40))
+        + " " + quote + " "
+        + " ".join(f"tail filler word{i} epsilon" for i in range(40))
+    )
+    others = [
+        (100 + i, " ".join(f"unrelated u{i}w{j}" for j in range(30)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)] + others, "doc_id long, text string"
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(df, chunk_tokens=8).collect()
+    }
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    # the quote's shingles are (almost) all inside the long doc; the
+    # chunk-grain alignment loses at most the boundary shingles
+    assert r.cont_a_bp > 9000
+    # ...while the long doc is mostly NOT in the quote
+    assert r.cont_b_bp < 4000
+    # and Jaccard-banded LSH indeed never pairs them (low resemblance)
+    lsh = {(p.id_a, p.id_b) for p in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) not in lsh
+    # unrelated docs never pair
+    assert all(a in (1,) and b in (2,) for a, b in rows)
