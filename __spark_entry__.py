@@ -1033,7 +1033,8 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1000, offset: int = 2) 
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT vec_id, cid AS cluster, dist FROM a{iters + 1}"
+        + f"\nSELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist"
+        + f" FROM a{iters + 1}"
     )
 
 
@@ -1380,8 +1381,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": f"""
             WITH g AS (
               SELECT source, lang, count(*) AS n_docs,
-                     sum({_TOKENS}) AS n_tokens,
-                     sum(length(text)) AS n_chars
+                     CAST(sum({_TOKENS}) AS BIGINT) AS n_tokens,
+                     CAST(sum(length(text)) AS BIGINT) AS n_chars
               FROM documents GROUP BY source, lang),
             s AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
                   FROM g GROUP BY source),

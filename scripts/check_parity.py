@@ -44,9 +44,48 @@ def _rowset(cols, rows):
     ), [cols[i] for i in idx]
 
 
+def _spark_kind(dt) -> str:
+    # Collapse a Spark SQL type to a numeric-family kind comparable with a
+    # pandas dtype.kind: 'i' integral, 'f' floating, '?' anything else.
+    name = dt.simpleString()
+    if name in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if name in ("float", "double"):
+        return "f"
+    return "?"
+
+
+def _duck_kinds(con, sql) -> dict:
+    # Fetch the oracle THROUGH pandas, the same materialization path the
+    # driver uses — this is where DuckDB HUGEINT (un-cast integer sums)
+    # silently becomes float64 and diverges from Spark's BIGINT even when
+    # every value is numerically identical. fetchall() hides this class of
+    # bug (HUGEINT -> Python int), which is how the repo claimed green on
+    # corpus_mix while the driver recorded hash_match=false two rounds
+    # straight (VERDICT r3 "What's wrong" #1-3).
+    df = con.execute(sql).fetchdf()
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c] = "i" if k in ("i", "u") else ("f" if k == "f" else "?")
+    return out
+
+
+def _dtype_status(sdf, duck_kinds) -> str:
+    mism = []
+    for f in sdf.schema.fields:
+        sk = _spark_kind(f.dataType)
+        dk = duck_kinds.get(f.name, "?")
+        if {sk, dk} == {"i", "f"}:
+            mism.append(f"{f.name}: spark={sk} duck={dk}")
+    return "; ".join(mism)
+
+
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--dtypes-only"]
+    dtypes_only = "--dtypes-only" in sys.argv[1:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -68,6 +107,17 @@ def main():
             continue
         t0 = time.time()
         sdf = queries[name](spark, sf)
+        if dtypes_only:
+            # Schema-only sweep: no Spark job runs (schema is resolved at
+            # plan time); the oracle still executes through pandas so the
+            # driver-visible dtype is what we compare.
+            if name not in oracles:
+                continue
+            dty = _dtype_status(sdf, _duck_kinds(con, oracles[name]))
+            if dty:
+                failures.append(name)
+            print(f"  {name:24s} {'DTYPE ' + dty if dty else 'OK'}")
+            continue
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         t_spark = time.time() - t0
@@ -78,6 +128,7 @@ def main():
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
+        duck_kinds = _duck_kinds(con, oracles[name])
         t_duck = time.time() - t0
         sset, sc = _rowset(scols, srows)
         dset, dc = _rowset(dcols, drows)
@@ -93,6 +144,10 @@ def main():
                     f"VALUES {len(mism)} mismatches; first #{mism[0]}: "
                     f"spark={sset[mism[0]]} duck={dset[mism[0]]}"
                 )
+            else:
+                dty = _dtype_status(sdf, duck_kinds)
+                if dty:
+                    status = f"DTYPE {dty}"
         if status != "OK":
             failures.append(name)
         print(
