@@ -17,16 +17,20 @@ this is the same algorithm expressed Spark-first:
    corpus-wide. All whole-stage codegen; the per-iteration shuffle is
    the pair-count aggregate over the vocabulary, not the corpus.
 
-Symbols are space-delimited inside a padded string ( `` h e l l o `` );
-a merge replaces ``' x y '`` with ``' xy '``, applied TWICE: consecutive
-occurrences share their delimiter space, so a single left-to-right
-``replace`` pass takes only the alternating ones ( `` x y x y `` →
-`` xy x y `` ) — the second pass merges the now-isolated rest, which
-reproduces BPE's canonical leftmost-greedy behavior for runs of any
-length. ``replace`` semantics are identical in Spark and ANSI SQL, so
-the whole training run — pair counts, tie-breaks (count DESC, pair
-ASC), and the merged vocab — replays bit-identically in the DuckDB
-oracle. Integer counts only.
+Symbols are space-delimited inside a padded string ( `` h e l l o `` ).
+Applying a merge must be leftmost-greedy: when ``lhs != rhs`` a
+``replace`` of ``' x y '`` with ``' xy '`` applied TWICE is exactly
+canonical (consecutive occurrences share their delimiter space, so the
+first pass takes the alternating ones — `` x y x y `` → `` xy x y `` —
+and the second merges the now-isolated rest; occurrences cannot overlap
+when the symbols differ). When ``lhs == rhs`` the replace trick is NOT
+canonical (a run of n >= 5 identical symbols merges as ``xx x xx``
+instead of ``xx xx x``), so that case folds left-to-right over the
+symbol list instead (Spark ``aggregate``; the DuckDB oracle uses the
+same fold via ``list_reduce`` for EVERY merge — the oracle picks the
+pair inside SQL so it cannot branch, and the fold is canonical for both
+cases). Counts, tie-breaks (count DESC, pair ASC), and the merged vocab
+replay bit-identically. Integer counts only.
 """
 
 from __future__ import annotations
@@ -54,6 +58,37 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def _apply_merge(sym, x: str, y: str):
+    """Leftmost-greedy corpus-wide application of merge (x, y) to a padded
+    symbol string column.
+
+    x != y: double-replace (whole-stage codegen; canonical because
+    occurrences of a two-symbol pattern with distinct symbols cannot
+    overlap, and the two passes together take every occurrence).
+    x == y: left fold over the symbol list — a run of n identical
+    symbols must become floor(n/2) merged tokens then the odd remainder,
+    which no non-overlapping string replace can express. The fold's
+    merge guard (trailing TOKEN equals x, checked via the ' x' suffix on
+    the space-joined accumulator) cannot re-fire on a token merged this
+    iteration: that token is x||y, never equal to x (y is non-empty).
+    """
+    if x != y:
+        pat, rep = F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
+        return F.replace(F.replace(sym, pat, rep), pat, rep)
+    suffix = F.lit(f" {x}")
+    return F.concat(
+        F.aggregate(
+            F.split(F.trim(sym), " "),
+            F.lit(""),
+            lambda acc, t: F.when(
+                acc.endswith(suffix) & (t == F.lit(y)),
+                F.concat(acc, F.lit(y)),
+            ).otherwise(F.concat(acc, F.lit(" "), t)),
+        ),
+        F.lit(" "),
     )
 
 
@@ -118,10 +153,8 @@ def bpe_train(
                 (it, rank, left, right, int(row.cnt), rank == 1)
             )
         x, y = top[0].pair.split(" ", 1)
-        pat, rep = F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
         vocab = vocab.withColumn(
-            "sym",
-            F.replace(F.replace(F.col("sym"), pat, rep), pat, rep),
+            "sym", _apply_merge(F.col("sym"), x, y)
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(out_rows, MERGE_SCHEMA)
 
@@ -152,16 +185,27 @@ def _bpe_ctes(table: str, text_col: str, iters: int) -> list:
           SELECT pair, cnt,
                  row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk
           FROM p{i})""")
-        pat = f"' ' || (SELECT pair FROM r{i} WHERE rnk = 1) || ' '"
-        rep = (
-            f"' ' || (SELECT replace(pair, ' ', '') "
-            f"FROM r{i} WHERE rnk = 1) || ' '"
-        )
+        # leftmost-greedy fold (NOT double-replace: the pair is chosen
+        # inside SQL, so the lhs==rhs run case — where replace deviates
+        # from canonical BPE — cannot be branched away at build time; the
+        # fold is canonical for both cases and matches _apply_merge's
+        # results exactly). acc carries ' '-prefixed joined tokens, so
+        # the ends_with(' '||lhs) guard tests the trailing whole token.
+        # The argmax pair arrives via a 1-row cross join (DuckDB rejects
+        # subqueries inside lambda bodies).
+        ctes.append(f"""b{i} AS (
+          SELECT string_split(pair, ' ')[1] AS lhs,
+                 string_split(pair, ' ')[2] AS rhs
+          FROM r{i} WHERE rnk = 1)""")
         ctes.append(f"""v{i + 1} AS (
-          SELECT replace(replace(sym, {pat}, {rep}), {pat}, {rep})
-                   AS sym,
+          SELECT list_reduce(
+                   list_prepend('', string_split(trim(sym), ' ')),
+                   (acc, t) -> CASE
+                     WHEN ends_with(acc, ' ' || b{i}.lhs) AND t = b{i}.rhs
+                     THEN acc || b{i}.rhs
+                     ELSE acc || ' ' || t END) || ' ' AS sym,
                  freq
-          FROM v{i})""")
+          FROM v{i}, b{i})""")
     return ctes
 
 
@@ -219,8 +263,7 @@ def bpe_vocab_counts(
     )
     sym = F.col("sym")
     for x, y in merges:
-        pat, rep = F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
-        sym = F.replace(F.replace(sym, pat, rep), pat, rep)
+        sym = _apply_merge(sym, x, y)
     counts = (
         vocab.select(sym.alias("sym"), "freq")
         .select(F.explode(F.split(F.trim("sym"), " ")).alias("token"), "freq")

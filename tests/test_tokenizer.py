@@ -127,3 +127,58 @@ def test_bpe_vocab_counts_match_reference_encoding(spark):
         .orderBy("rank").collect()
     ]
     assert got == expect
+
+
+def test_bpe_identical_symbol_runs_merge_canonically(spark):
+    """lhs == rhs: a run of n identical symbols must merge leftmost-greedy
+    to floor(n/2) merged tokens then the odd remainder ('aaaaa' -> aa aa a,
+    NOT aa a aa). No non-overlapping string replace can express this —
+    the fold path (_apply_merge x == y branch) exists for exactly this
+    case; 'aaaaaa'/'!!!!!' style inputs are the ADVICE r3 counterexample."""
+    texts = ["aaaaaa aaaaa aaa", "!!!!! !!!!!!! aa", "aaaa !! aaaaaaa"]
+    for iters in (1, 2, 3):
+        assert _spark_bpe(spark, texts, iters, 5) == _ref_bpe(
+            texts, iters, 5
+        )
+
+
+def test_bpe_identical_runs_of_merged_symbols(spark):
+    """Runs of an already-merged symbol ('abababab...' after (a,b) then
+    (ab,ab)) hit the lhs == rhs case with a multi-char symbol in later
+    iterations — both the trained merges and the encoded vocab counts
+    must stay canonical."""
+    from collections import Counter as _C
+
+    from crawler_spark.textops.tokenizer import bpe_vocab_counts
+
+    texts = ["ababababab abababab", "abababababab ab", "abab abababab"]
+    iters = 3
+    assert _spark_bpe(spark, texts, iters, 5) == _ref_bpe(texts, iters, 5)
+
+    merges = [(r[2], r[3]) for r in _ref_bpe(texts, iters, 1) if r[5]]
+
+    def encode(word):
+        syms = list(word)
+        for x, y in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    ns.append(x + y)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        return syms
+
+    ref = _C(tok for t in texts for w in t.split(" ") if w
+             for tok in encode(w))
+    ranked = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [(tok, c, r) for r, (tok, c) in enumerate(ranked[:50], 1)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [(r.token, r.n, r.rank)
+           for r in bpe_vocab_counts(df, iters=iters, top_k=50)
+           .orderBy("rank").collect()]
+    assert got == expect
