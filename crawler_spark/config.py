@@ -162,6 +162,13 @@ class CrawlConfig:
     seen_bloom_enabled: bool = False
     seen_bloom_buckets: int = 64
     seen_bloom_bits: int = 1 << 20
+    # store the seen table bucketed by url_hash (state/store.py) — the
+    # parquet stand-in for Iceberg bucket(N, url_hash). The per-wave seen
+    # anti-join then plans with zero Exchange on the seen side: only the
+    # wave delta shuffles, never the cumulative 10^10-row table.
+    # None = shuffle-partition count; 0/None+False path kept for A/B.
+    seen_bucketed_enabled: bool = True
+    seen_buckets: int | None = None
 
     def normalized_seeds(self) -> list[str]:
         out = []

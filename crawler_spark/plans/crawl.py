@@ -76,7 +76,12 @@ class SparkCrawler:
                 "url_hash", "norm_url", "html", "warc_ts"
             )
             self.pages.cache()
-        self.store = StateStore(spark, state_dir)
+        self.store = StateStore(
+            spark, state_dir,
+            bucketed_tables=("seen",) if config.seen_bucketed_enabled else (),
+            bucket_key="url_hash",
+            n_buckets=config.seen_buckets,
+        )
         self.max_waves = max_waves
         self.resume = resume
         self.recrawl = recrawl

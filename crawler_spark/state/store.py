@@ -27,17 +27,59 @@ bucketed tables, which share the physical mechanism.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# a bucketed data file carries its bucket id in the name
+# (part-00000-<uuid>_00007.c000.snappy.parquet); anything else in a wave
+# dir is a plain (pre-bucketing or empty-wave) file
+_BUCKET_FILE_RE = re.compile(r"_\d{5}(?:\.c\d+)?\.[^/]*parquet$")
+
+_SPEC_FILE = "_bucket_spec.json"
+
+_OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
 
 
 class StateStore:
-    def __init__(self, spark: SparkSession, root: str):
+    """``bucketed_tables``: state tables stored as Spark bucketed tables
+    (CLUSTERED BY ``bucket_key`` INTO N BUCKETS, partitioned by wave) —
+    the plain-parquet stand-in for Iceberg ``bucket(N, url_hash)``
+    (state/iceberg.py). The payoff is the per-wave seen anti-join: the
+    bucketed scan reports ``outputPartitioning = hashpartitioning(key, N)``
+    so the join plans with ZERO Exchange on the table side — only the
+    wave-sized candidate delta shuffles, never the cumulative table
+    (pinned by tests/test_bucketed_state_join.py). At 10^10 URLs this is
+    the difference between re-shuffling the full seen set every wave and
+    never moving it.
+
+    The wave=NNNNN snapshot-dir contract is preserved exactly: inserts go
+    through a ``PARTITIONED BY (wave STRING)`` table whose partition
+    values are the zero-padded wave numbers, so resume/manifest paths,
+    ``row_count`` footer reads, and direct per-wave dir reads all keep
+    working. A pre-bucketing state dir (wave dirs, no ``_bucket_spec``
+    sidecar) transparently stays on the plain path — resumes of old
+    state are unaffected.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bucketed_tables: tuple = (),
+        bucket_key: str = "url_hash",
+        n_buckets: int | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self.bucketed = set(bucketed_tables)
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
     # --- manifest ----------------------------------------------------------
@@ -65,8 +107,119 @@ class StateStore:
         return os.path.join(self.root, name)
 
     def append(self, name: str, df: DataFrame, wave: int) -> str:
+        if self._is_bucketed(name):
+            return self._append_bucketed(name, df, wave)
         path = os.path.join(self.table_dir(name), f"wave={wave:05d}")
         df.write.mode("overwrite").parquet(path)
+        return path
+
+    # --- bucketed tables -----------------------------------------------------
+
+    def _spec_path(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), _SPEC_FILE)
+
+    def _read_spec(self, name: str) -> dict | None:
+        try:
+            with open(self._spec_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _is_bucketed(self, name: str) -> bool:
+        if name not in self.bucketed:
+            return False
+        if self._read_spec(name) is not None:
+            return True
+        # wave dirs but no spec sidecar = a pre-bucketing state dir being
+        # resumed — stay on the plain path rather than corrupt its layout
+        return not self.exists(name)
+
+    def _table_ident(self, name: str) -> str:
+        h = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:10]
+        return f"crawl_{name}_{h}"
+
+    def _ensure_bucket_table(self, name: str, df: DataFrame | None = None):
+        """Register (or create) the session-catalog entry for a bucketed
+        state table. The bucket spec (key, N, column DDL) is pinned in a
+        sidecar JSON inside the table dir so a resuming session re-registers
+        with EXACTLY the N the files were written with — a mismatched N
+        would silently misattribute buckets and break join correctness."""
+        ident = self._table_ident(name)
+        spec = self._read_spec(name)
+        if spec is None:
+            n = self.n_buckets or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            cols = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ]
+            spec = {"key": self.bucket_key, "n": n, "cols": cols}
+            os.makedirs(self.table_dir(name), exist_ok=True)
+            tmp = self._spec_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(spec, f)
+            os.replace(tmp, self._spec_path(name))
+        if not self.spark.catalog.tableExists(ident):
+            col_ddl = ", ".join(f"`{c}` {t}" for c, t in spec["cols"])
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {ident} "
+                f"({col_ddl}, `wave` STRING) USING parquet "
+                f"PARTITIONED BY (wave) "
+                f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']}) "
+                f"INTO {spec['n']} BUCKETS "
+                f"LOCATION '{self.table_dir(name)}'"
+            )
+            # resume in a fresh session: register the wave partitions that
+            # hold bucketed files. Dirs with only plain files (empty-wave
+            # markers) stay catalog-invisible on purpose — they carry no
+            # rows and their unbucketed names would fail the bucketed scan.
+            for d in sorted(os.listdir(self.table_dir(name))):
+                p = os.path.join(self.table_dir(name), d)
+                if not (d.startswith("wave=") and os.path.isdir(p)):
+                    continue
+                if any(_BUCKET_FILE_RE.search(fn) for fn in os.listdir(p)):
+                    self.spark.sql(
+                        f"ALTER TABLE {ident} ADD IF NOT EXISTS "
+                        f"PARTITION (wave='{d.split('=', 1)[1]}')"
+                    )
+        return ident, spec
+
+    def _append_bucketed(self, name: str, df: DataFrame, wave: int) -> str:
+        ident, spec = self._ensure_bucket_table(name, df)
+        wstr = f"{wave:05d}"
+        path = os.path.join(self.table_dir(name), f"wave={wstr}")
+        # idempotent wave slot (resume re-runs a wave): drop any prior
+        # attempt — catalog entry AND files (external table: DROP PARTITION
+        # is metadata-only)
+        self.spark.sql(
+            f"ALTER TABLE {ident} DROP IF EXISTS PARTITION (wave='{wstr}')"
+        )
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        # pre-route rows by the bucket function (pmod(murmur3(key), N) —
+        # identical to repartition's hashpartitioning) so each task holds
+        # exactly one bucket: N files per wave, not tasks×N
+        out = (
+            df.select(*[c for c, _ in spec["cols"]])
+            .withColumn("wave", F.lit(wstr))
+            .repartition(spec["n"], F.col(spec["key"]))
+        )
+        prior = self.spark.conf.get(_OVERWRITE_MODE, "static")
+        self.spark.conf.set(_OVERWRITE_MODE, "dynamic")
+        try:
+            out.write.insertInto(ident, overwrite=True)
+        finally:
+            self.spark.conf.set(_OVERWRITE_MODE, prior)
+        if not os.path.isdir(path):
+            # empty wave: dynamic overwrite writes no partition, but the
+            # per-wave dir contract (manifest frontier paths, direct reads)
+            # requires a schema-bearing dir. Write an empty plain file —
+            # catalog-invisible (unregistered), so table reads never see it.
+            self.spark.createDataFrame([], df.schema).write.mode(
+                "overwrite"
+            ).parquet(path)
         return path
 
     def row_count(self, path: str) -> int:
@@ -88,6 +241,8 @@ class StateStore:
         the docs/parsed history persists for the purge stage)."""
         import shutil
 
+        if name in self.bucketed:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name)}")
         d = self.table_dir(name)
         if os.path.isdir(d):
             shutil.rmtree(d)
@@ -99,6 +254,31 @@ class StateStore:
     def read(self, name: str) -> DataFrame | None:
         if not self.exists(name):
             return None
+        if self._is_bucketed(name):
+            ident, _ = self._ensure_bucket_table(name)
+            # snapshot isolation: a catalog table lists partitions at
+            # EXECUTION time, but callers capture `seen` before appending
+            # the current wave and expect the pre-append view (the old
+            # glob read snapshotted dirs at plan time — same contract as
+            # an Iceberg snapshot read). Pin the partitions present NOW
+            # via an isin partition filter (pruning, not a data scan).
+            d = self.table_dir(name)
+            waves = sorted(
+                w.split("=", 1)[1]
+                for w in os.listdir(d)
+                if w.startswith("wave=") and os.path.isdir(os.path.join(d, w))
+                and any(
+                    _BUCKET_FILE_RE.search(fn)
+                    for fn in os.listdir(os.path.join(d, w))
+                )
+            )
+            t = self.spark.table(ident)
+            t = t.filter(F.col("wave").isin(waves) if waves else F.lit(False))
+            # partition values are strings; downstream staleness checks
+            # compare wave numerically. The cast is a projection on top of
+            # the bucketed scan — output partitioning on the bucket key
+            # survives, so joins still plan exchange-free.
+            return t.withColumn("wave", F.col("wave").cast("int"))
         return self.spark.read.option("basePath", self.table_dir(name)).parquet(
             os.path.join(self.table_dir(name), "wave=*")
         )
@@ -121,6 +301,13 @@ class StateStore:
         """
         import shutil
 
+        if self._is_bucketed(name) and self._read_spec(name) is not None:
+            # bucketed tables bin-pack at write time (the pre-insert
+            # repartition yields exactly ≤N bucket files per wave);
+            # cross-wave folding would break the per-wave snapshot dirs.
+            # The production equivalent is Iceberg rewrite_data_files
+            # (state/iceberg.py compact()).
+            return self.table_dir(name)
         src = df if df is not None else self.read(name)
         if src is None:
             return self.table_dir(name)
