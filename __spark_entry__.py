@@ -2423,15 +2423,28 @@ def oracle_sql() -> dict[str, str]:
                    n_docs, total_chars
             FROM b
         """,
-        "containment_pairs": """
+        "containment_pairs": f"""
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            -- content-defined cuts (shift-robust candidates): boundary
+            -- AFTER tokens whose first two md5 nibbles are 0 mod 8 —
+            -- same rule as the Spark side's _cdc_chunk_array fold
+            cb AS (
+              SELECT doc_id, tk,
+                     list_prepend(0,
+                       [i for i in range(1, len(tk) + 1)
+                        if ({_md5_prefix_sql("tk[i]", 2)}) % 8 = 0]) AS b
+              FROM t),
+            cb2 AS (
+              SELECT doc_id, tk,
+                     CASE WHEN b[-1] < len(tk)
+                          THEN list_append(b, len(tk)) ELSE b END AS b
+              FROM cb),
             c AS (
               SELECT doc_id,
-                     [md5(array_to_string(
-                        tk[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' '))
-                      for i in range(0, CAST(ceil(len(tk)/8.0) AS INT))] AS fps
-              FROM t),
+                     [md5(array_to_string(tk[b[j] + 1:b[j + 1]], ' '))
+                      for j in range(1, len(b))] AS fps
+              FROM cb2),
             occ AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM c),
             szs AS (SELECT fp, count(*) AS cnt FROM occ GROUP BY fp),
             cand AS (

@@ -700,6 +700,42 @@ def chunk_dedup_clean(
     )
 
 
+def _cdc_chunk_array(text_col: str, is_cut) -> F.Column:
+    """Content-defined chunk array: fold the token array left-to-right,
+    closing a chunk AFTER any token for which ``is_cut(tok)`` holds (plus
+    the trailing partial). The whole fold is one ``aggregate`` expression
+    inside the scan's codegen — no explode, no shuffle. Shared by
+    :func:`cdc_chunks` and :func:`containment_pairs` candidate generation
+    (the cut rule is the shift-robustness: boundaries move WITH content,
+    so shared text collides at any offset)."""
+    toks = F.split(F.col(text_col), " ")
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit(None).cast("string").alias("cur"),
+    )
+
+    def _step(acc, t):
+        joined = F.when(acc["cur"].isNull(), t).otherwise(
+            F.concat(acc["cur"], F.lit(" "), t)
+        )
+        return F.struct(
+            F.when(is_cut(t), F.concat(acc["done"], F.array(joined)))
+            .otherwise(acc["done"])
+            .alias("done"),
+            F.when(is_cut(t), F.lit(None).cast("string"))
+            .otherwise(joined)
+            .alias("cur"),
+        )
+
+    def _finish(acc):
+        # trailing partial chunk (no cut after the last token)
+        return F.when(acc["cur"].isNull(), acc["done"]).otherwise(
+            F.concat(acc["done"], F.array(acc["cur"]))
+        )
+
+    return F.aggregate(toks, acc0, _step, _finish)
+
+
 def cdc_chunks(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -725,36 +761,10 @@ def cdc_chunks(
     of distinct docs sharing the chunk fingerprint (n_owners > 1 → shared
     boilerplate; curation drops or keeps-first by fp).
     """
-    toks = F.split(F.col(text_col), " ")
-
     def _is_cut(t):
         return F.substring(F.md5(t), 1, 1) == F.lit("0")
 
-    acc0 = F.struct(
-        F.array().cast("array<string>").alias("done"),
-        F.lit(None).cast("string").alias("cur"),
-    )
-
-    def _step(acc, t):
-        joined = F.when(acc["cur"].isNull(), t).otherwise(
-            F.concat(acc["cur"], F.lit(" "), t)
-        )
-        return F.struct(
-            F.when(_is_cut(t), F.concat(acc["done"], F.array(joined)))
-            .otherwise(acc["done"])
-            .alias("done"),
-            F.when(_is_cut(t), F.lit(None).cast("string"))
-            .otherwise(joined)
-            .alias("cur"),
-        )
-
-    def _finish(acc):
-        # trailing partial chunk (no cut after the last token)
-        return F.when(acc["cur"].isNull(), acc["done"]).otherwise(
-            F.concat(acc["done"], F.array(acc["cur"]))
-        )
-
-    chunks = F.aggregate(toks, acc0, _step, _finish)
+    chunks = _cdc_chunk_array(text_col, _is_cut)
     occ = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     ).select(
@@ -783,9 +793,16 @@ def containment_pairs(
     (Broder's "containment" from the original resemblance paper,
     SEQUENCES'97).
 
-    Candidates come from shared chunk fingerprints (``chunk_tokens``-token
-    exact chunks, the chunk_dedup family): any wholesale quote of at
-    least one chunk makes the pair a candidate — no cross product.
+    Candidates come from shared CONTENT-DEFINED chunk fingerprints
+    (the :func:`cdc_chunks` cut family with a parameterized cut
+    probability of 1/``chunk_tokens``, i.e. mean chunk length
+    ``chunk_tokens`` tokens): because the cut points derive from token
+    content, a quote shares the same chunks at ANY offset in the
+    containing document — unlike position-aligned fixed windows, which
+    only collide when the quote's offset happens to be congruent mod the
+    window size. Recall bound: the quote must span at least one COMPLETE
+    chunk, which is expected once it is ≳ 2×``chunk_tokens`` tokens long
+    (the two clipped border chunks differ; everything between matches).
     Chunk fps repeated across more than ``max_bucket`` docs are dropped
     from candidate generation (corpus boilerplate — the same quadratic
     guard as the minhash mega-bucket cap; boilerplate containment is
@@ -802,13 +819,21 @@ def containment_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    toks = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # cut AFTER tokens whose first two md5 nibbles (0..255) are ≡ 0 mod
+    # chunk_tokens — P = 1/chunk_tokens exactly when chunk_tokens divides
+    # 256 (the default 8 does). conv+substring is plain nibble arithmetic,
+    # replayable bit-identically in the DuckDB oracle.
+    def _is_cut(t):
+        return (
+            F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("long"),
+                F.lit(chunk_tokens),
+            )
+            == F.lit(0)
+        )
+
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.md5(
-            F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " ")
-        ),
+        _cdc_chunk_array(text_col, _is_cut), lambda c: F.md5(c)
     )
     occ = (
         df.select(F.col(id_col), F.explode(chunks).alias("fp"))

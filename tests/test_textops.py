@@ -733,5 +733,38 @@ def test_containment_catches_quotes_jaccard_misses(spark):
     # and Jaccard-banded LSH indeed never pairs them (low resemblance)
     lsh = {(p.id_a, p.id_b) for p in minhash_lsh_pairs(df).collect()}
     assert (1, 2) not in lsh
+
+
+def test_containment_robust_to_unaligned_offsets(spark):
+    """ADVICE r3: position-aligned fixed windows share zero fingerprints
+    when the quote's offset is not ≡ 0 mod the window size (7/8 of
+    offsets at the default 8). Candidates now come from content-defined
+    cuts, so the SAME quote must be caught at every offset — including
+    offsets coprime to 8."""
+    from crawler_spark.textops.dedup import containment_pairs
+
+    quote = " ".join(f"quoted sentence token{i} alpha beta" for i in range(8))
+    rows_per_shift = {}
+    for shift in (1, 3, 7):
+        long_doc = (
+            " ".join(f"pre filler w{j}" for j in range(shift)) + " "
+            + quote + " "
+            + " ".join(f"tail filler word{i} epsilon" for i in range(40))
+        )
+        df = spark.createDataFrame(
+            [(1, quote), (2, long_doc)]
+            + [(100 + i, " ".join(f"unrelated u{i}w{j}" for j in range(30)))
+               for i in range(3)],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r.id_a, r.id_b): r
+            for r in containment_pairs(df, chunk_tokens=8).collect()
+        }
+        assert (1, 2) in rows, f"pair missed at offset {shift}"
+        rows_per_shift[shift] = rows[(1, 2)]
+    for shift, r in rows_per_shift.items():
+        assert r.cont_a_bp > 9000, (shift, r)
+        assert r.cont_b_bp < 5000, (shift, r)
     # unrelated docs never pair
     assert all(a in (1,) and b in (2,) for a, b in rows)
