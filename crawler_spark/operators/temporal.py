@@ -51,6 +51,7 @@ def asof_join(
     order_cols: Sequence[str],
     value_cols: Sequence[str],
     prefix: str = "asof_",
+    skip_null_values: bool = True,
 ) -> DataFrame:
     """For each left row, attach the right row's ``value_cols`` from the
     most recent right row strictly before it in ``order_cols`` order,
@@ -62,6 +63,19 @@ def asof_join(
     with tied timestamps, where timestamp-only as-of joins (DuckDB
     ``ASOF JOIN``, pandas ``merge_asof``) are tie-ambiguous.
 
+    Left columns are passed through untouched — a left column that
+    happens to share a name with a ``value_cols`` entry is NOT consumed
+    (right values ride under private aliases until the final rename, so
+    only the new ``prefix + v`` columns are added).
+
+    NULL semantics: with ``skip_null_values=True`` (default) a right row
+    whose value is NULL is skipped — the join reports the most recent
+    NON-NULL value (last-observation-carried-forward). With ``False``
+    the value comes from the most recent right ROW even when that value
+    is NULL (strict as-of-row semantics, what DuckDB ``ASOF JOIN``
+    reports); rows are distinguished from "no earlier row" by wrapping
+    values in a struct, so "no match" is still NULL in every column.
+
     Scale shape: union + one running window = ONE hash exchange on
     ``key_col``; within a partition the window is a linear scan. Right
     rows carry only ``key/order/value`` columns (payload pruned before
@@ -71,9 +85,15 @@ def asof_join(
     """
     order_cols = list(order_cols)
     value_cols = list(value_cols)
+    tmp_cols = [f"_asof_in_{v}" for v in value_cols]
+    clash = set(tmp_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with asof internals: {clash}")
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
-        key_col, *order_cols, *value_cols
+        key_col,
+        *order_cols,
+        *[F.col(v).alias(t) for v, t in zip(value_cols, tmp_cols)],
     ).withColumn("_side", F.lit(0))
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -81,14 +101,21 @@ def asof_join(
         .orderBy(*[F.col(c) for c in order_cols], F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    for v in value_cols:
-        u = u.withColumn(
-            prefix + v,
-            F.last(
-                F.when(F.col("_side") == 0, F.col(v)), ignorenulls=True
-            ).over(w),
-        )
-    return u.filter(F.col("_side") == 1).drop("_side", *value_cols)
+    for v, t in zip(value_cols, tmp_cols):
+        if skip_null_values:
+            carried = F.last(
+                F.when(F.col("_side") == 0, F.col(t)), ignorenulls=True
+            ).over(w)
+        else:
+            # struct wrapper: non-null for EVERY right row, so last()
+            # lands on the most recent row and propagates its (possibly
+            # NULL) value; no earlier row at all → struct NULL → NULL out
+            carried = F.last(
+                F.when(F.col("_side") == 0, F.struct(F.col(t).alias("v"))),
+                ignorenulls=True,
+            ).over(w)["v"]
+        u = u.withColumn(prefix + v, carried)
+    return u.filter(F.col("_side") == 1).drop("_side", *tmp_cols)
 
 
 def range_bucket_join(
@@ -114,6 +141,19 @@ def range_bucket_join(
     and the join is a plain equi-join on the bucket followed by the
     exact range filter. Output: all interval columns + the matching
     point row's columns.
+
+    Contract (why the two-bucket explode is sufficient): every bucket's
+    width on the time axis must be >= the widest interval. Both
+    ``floor(x / w)`` and truncate-toward-zero ``x DIV w`` satisfy it on
+    ANY domain, negative included — truncation merely WIDENS bucket 0 to
+    ``2w - 1`` (it never narrows a bucket below ``w``), and a monotone
+    bucketing whose buckets are all >= ``w`` wide puts any point within
+    ``w`` of ``start`` in bucket ``b`` or ``b + 1`` (verified
+    exhaustively; pinned on a pre-1970 negative datediff domain by
+    tests/test_temporal.py). What DOES break the invariant is a bucket
+    grain smaller than the widest interval, or a non-monotone bucket
+    expression — e.g. ``abs()``/modulo arithmetic — so derive buckets
+    directly from the ordered axis with one division.
 
     Scale shape: 2x bounded fan-out on the (smaller) interval side,
     one hash join on a uniform integer key, predicate applied at the
