@@ -102,14 +102,15 @@ def host_resolution_allowed(
     — the fetch itself will surface the DNS error as the same 599, and
     a name that doesn't resolve can't be used to reach anything.
 
-    Delta vs the reference, stated honestly: the reference filters the
-    address LIST handed to its connection manager, so a host with one
-    public and one private A record connects only via the public one;
-    urllib re-resolves internally, so we can only deny when NO allowed
-    address exists. The common SSRF shapes (IP-literal link, internal
-    hostname) resolve to only-private addresses and are denied
-    identically. Results are cached per process — executor-side this
-    dedups the per-host lookup across a wave's URLs."""
+    This is the cheap cached FAST-DENY only: the authoritative filter
+    runs at connection time (``_filtered_tcp_connect``), where the
+    resolved answer used for policy is the answer dialed — atomic
+    check-and-connect, same placement as the reference's
+    connection-manager resolver, so DNS rebinding between a pre-check
+    and the GET cannot flip the classification, and a host with one
+    public and one private A record connects only via the public one.
+    Results here are cached per process — executor-side this dedups the
+    per-host lookup across a wave's URLs."""
     key = (host, loopback_allowed, private_networks_allowed)
     hit = _DNS_GUARD_CACHE.get(key)
     if hit is not None:
@@ -177,6 +178,98 @@ def proxy_url_from_config(cfg: CrawlConfig) -> str | None:
         f"{cfg.http_proxy_protocol}://{cred}"
         f"{cfg.http_proxy_host}:{cfg.http_proxy_port}"
     )
+
+
+def _filtered_tcp_connect(conn, loopback_allowed: bool,
+                          private_networks_allowed: bool):
+    """Resolve ``conn.host`` and dial ONLY addresses that pass
+    ``address_allowed`` — the check-and-connect atomicity the reference
+    gets by filtering inside its HTTP client's connection-manager
+    resolver (filtering_dns_resolver.rb:36-48). A pre-flight check that
+    lets urllib re-resolve internally leaves a DNS-rebinding window: the
+    attacker answers with a public address for the check and a loopback
+    address for the connect. Filtering at the socket means the answer
+    used for policy IS the answer dialed; a host with one public and one
+    private A record connects via the public one (reference parity).
+    Sets ``conn.sock`` or raises OSError."""
+    import ipaddress
+    import socket
+
+    infos = socket.getaddrinfo(
+        conn.host, conn.port, 0, socket.SOCK_STREAM
+    )
+    allowed = []
+    for family, kind, proto, _, sockaddr in infos:
+        try:
+            a = ipaddress.ip_address(sockaddr[0].split("%")[0])
+        except ValueError:
+            continue
+        if address_allowed(a, loopback_allowed, private_networks_allowed):
+            allowed.append((family, kind, proto, sockaddr))
+    if not allowed:
+        raise OSError(
+            f"all resolved addresses for {conn.host!r} are disallowed "
+            "(loopback/private/link-local)"
+        )
+    err = None
+    for family, kind, proto, sockaddr in allowed:
+        sock = None
+        try:
+            sock = socket.socket(family, kind, proto)
+            if conn.timeout is not socket._GLOBAL_DEFAULT_TIMEOUT:
+                sock.settimeout(conn.timeout)
+            if conn.source_address:
+                sock.bind(conn.source_address)
+            sock.connect(sockaddr)
+            try:
+                sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            except OSError:
+                pass
+            conn.sock = sock
+            return
+        except OSError as e:
+            err = e
+            if sock is not None:
+                sock.close()
+    raise err
+
+
+def _filtered_handlers(loopback_allowed: bool, private_networks_allowed: bool,
+                       ssl_context):
+    """urllib handlers whose connections dial only vetted addresses.
+    HTTPS wraps the vetted TCP socket with SNI/hostname = the original
+    host (certificate verification is unchanged — only the dialed
+    address set is filtered)."""
+    import http.client
+    import urllib.request
+
+    flags = (loopback_allowed, private_networks_allowed)
+
+    class _FC(http.client.HTTPConnection):
+        def connect(self):
+            _filtered_tcp_connect(self, *flags)
+
+    class _FCS(http.client.HTTPSConnection):
+        def connect(self):
+            _filtered_tcp_connect(self, *flags)
+            if self._tunnel_host:
+                self._tunnel()
+                server_hostname = self._tunnel_host
+            else:
+                server_hostname = self.host
+            self.sock = self._context.wrap_socket(
+                self.sock, server_hostname=server_hostname
+            )
+
+    class _H(urllib.request.HTTPHandler):
+        def http_open(self, req):
+            return self.do_open(_FC, req)
+
+    class _HS(urllib.request.HTTPSHandler):
+        def https_open(self, req):
+            return self.do_open(_FCS, req, context=self._context)
+
+    return [_H(), _HS(context=ssl_context)]
 
 
 def http_fetch_one(
@@ -249,7 +342,17 @@ def http_fetch_one(
         handlers.append(
             urllib.request.ProxyHandler({"http": proxy_url, "https": proxy_url})
         )
-    if url.startswith("https://"):
+    if not (loopback_allowed and private_networks_allowed):
+        # connection-level filter: the addresses dialed are exactly the
+        # addresses vetted (closes the rebinding window the pre-check
+        # alone would leave — see _filtered_tcp_connect)
+        handlers.extend(
+            _filtered_handlers(
+                loopback_allowed, private_networks_allowed,
+                ssl_context_for(ssl_mode, ssl_cas),
+            )
+        )
+    elif url.startswith("https://"):
         handlers.append(
             urllib.request.HTTPSHandler(
                 context=ssl_context_for(ssl_mode, ssl_cas)

@@ -890,3 +890,109 @@ def test_ssrf_live_crawl_denies_private_seed(spark, tmp_path, site_url):
         "169.254" in (r["url"] or "")
         for r in res.events.filter("action = 'url-extracted'").collect()
     )
+
+
+def test_ssrf_rebinding_between_check_and_connect(monkeypatch):
+    """DNS rebinding: the resolver answers a PUBLIC address for the
+    policy check and a LOOPBACK address when the connection resolves
+    again. Because the filter runs inside connect() on the very answer
+    being dialed, the rebound loopback answer is refused — the server on
+    127.0.0.1 must never receive a request (the reference gets the same
+    atomicity from its connection-manager resolver,
+    filtering_dns_resolver.rb:36-48)."""
+    import socket
+    import threading
+
+    from crawler_spark.operators import fetch_live
+    from crawler_spark.operators.fetch_live import http_fetch_one
+
+    hits = []
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            body = b"secret"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+
+    real_getaddrinfo = socket.getaddrinfo
+    answers = iter(["93.184.216.34"] + ["127.0.0.1"] * 10)
+
+    def rotating(host, *a, **k):
+        if host == "rebind.test":
+            ip = next(answers)
+            return [(socket.AF_INET, socket.SOCK_STREAM, 6, "", (ip, port))]
+        return real_getaddrinfo(host, *a, **k)
+
+    monkeypatch.setattr(socket, "getaddrinfo", rotating)
+    fetch_live._DNS_GUARD_CACHE.clear()
+    try:
+        body, _, _ = http_fetch_one(
+            f"http://rebind.test:{port}/", timeout_s=5.0,
+            loopback_allowed=False, private_networks_allowed=False,
+        )
+    finally:
+        server.shutdown()
+        fetch_live._DNS_GUARD_CACHE.clear()
+    assert body == b"<!--STATUS:599-->"
+    assert hits == []  # the loopback server was never contacted
+
+
+def test_ssrf_mixed_records_connect_via_allowed_only(monkeypatch):
+    """A host resolving to one disallowed and one allowed address must
+    connect via the allowed one (reference parity: the resolver filters
+    the address LIST, not the whole host)."""
+    import socket
+    import threading
+
+    from crawler_spark.operators import fetch_live
+    from crawler_spark.operators.fetch_live import http_fetch_one
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b"<html><body>ok</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+
+    real_getaddrinfo = socket.getaddrinfo
+
+    def mixed(host, *a, **k):
+        if host == "mixed.test":
+            # 10.0.0.8 is site-local (denied: private_networks_allowed
+            # False); 127.0.0.1 is allowed via loopback_allowed
+            return [
+                (socket.AF_INET, socket.SOCK_STREAM, 6, "", ("10.0.0.8", port)),
+                (socket.AF_INET, socket.SOCK_STREAM, 6, "", ("127.0.0.1", port)),
+            ]
+        return real_getaddrinfo(host, *a, **k)
+
+    monkeypatch.setattr(socket, "getaddrinfo", mixed)
+    fetch_live._DNS_GUARD_CACHE.clear()
+    try:
+        body, _, _ = http_fetch_one(
+            f"http://mixed.test:{port}/", timeout_s=5.0,
+            loopback_allowed=True, private_networks_allowed=False,
+        )
+    finally:
+        server.shutdown()
+        fetch_live._DNS_GUARD_CACHE.clear()
+    assert b"ok" in body  # served by the allowed loopback address
