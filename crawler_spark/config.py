@@ -169,6 +169,14 @@ class CrawlConfig:
     # None = shuffle-partition count; 0/None+False path kept for A/B.
     seen_bucketed_enabled: bool = True
     seen_buckets: int | None = None
+    # HTML parser backend for the per-document parse (the dominant
+    # per-page cost at 100 TB): 'builtin' = the pure-Python parser (the
+    # byte-identity contract the goldens pin), 'auto' = install the
+    # fastest importable C parser (lxml) into the DOM seam at executor
+    # startup, degrading to builtin when none is available. The lxml
+    # walker is qualified byte-identical on the fixture corpus by
+    # tests/test_textextract.py (gated on lxml presence).
+    html_backend: str = "builtin"
 
     def normalized_seeds(self) -> list[str]:
         out = []

@@ -186,6 +186,16 @@ def _clean_str(v):
 def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Iterator[pd.DataFrame]:
     from ..functions.extraction import compile_rulesets
 
+    if cfg.html_backend == "auto":
+        # executor-side, idempotent, import-gated: installs the fastest
+        # importable C parser (lxml/libxml2) into the DOM seam, or leaves
+        # the built-in parser when none is available (htmlkit/backends.py).
+        # Per-document HTML parse is the dominant 100 TB cost (the
+        # reference runs on jsoup, a compiled parser — html.rb:26);
+        # 'builtin' stays the default byte-identity contract.
+        from ..htmlkit.backends import install_best_backend
+
+        install_best_backend()
     rulesets = compile_rulesets(cfg.extraction_rules)  # once per partition
     for pdf in batches:
         out = []

@@ -626,3 +626,38 @@ def test_rank_hosts_job_end_to_end(spark, tmp_path, capsys):
     res = SparkCrawler(spark, cfg2, p, str(tmp_path / "state2"),
                        max_waves=20).run()
     assert {r["norm_url"] for r in res.seen.collect()} == set(v)
+
+
+def test_html_backend_auto_matches_builtin_byte_identical(spark, tmp_path):
+    """html_backend='auto' installs the fastest importable C parser into
+    the DOM seam at executor startup (or degrades to the built-in one
+    when none is present — this container has no lxml, which exercises
+    exactly the degradation path). Whatever backend ends up in charge,
+    the crawl's docs must be byte-identical to the builtin run over the
+    generated fixture corpus — the qualification contract for enabling
+    the flag in production."""
+    from crawler_spark.fixtures.gen import generate_corpus, write_parquet
+
+    rows, gen_cfg = generate_corpus(n_hosts=1, pages_per_host=12)
+    p = str(tmp_path / "pages.parquet")
+    write_parquet(rows, p)
+    results = {}
+    for backend in ("builtin", "auto"):
+        cfg = CrawlConfig(
+            seed_urls=tuple(gen_cfg["seed_urls"]),
+            sitemap_urls=tuple(gen_cfg["sitemap_urls"]),
+            crawl_rules=gen_cfg["crawl_rules"],
+            html_backend=backend,
+            lineage_enabled=False,
+        )
+        res = SparkCrawler(
+            spark, cfg, spark.read.parquet(p),
+            str(tmp_path / f"st_{backend}"), max_waves=10,
+        ).run()
+        results[backend] = sorted(
+            (r["url"], r["title"], r["body"], tuple(r["links"] or ()),
+             tuple(r["headings"] or ()))
+            for r in res.docs.collect()
+        )
+    assert results["auto"] == results["builtin"]
+    assert len(results["builtin"]) > 5
