@@ -87,6 +87,16 @@ def main(argv=None):
                     help="maintain the partitioned Bloom sidecar over the "
                          "seen set; provably-new candidates bypass the exact "
                          "anti-join (filter-then-verify, state/bloom.py)")
+    ap.add_argument("--no-bucketed-seen", action="store_true",
+                    help="store the seen table as plain per-wave parquet "
+                         "instead of the bucketed layout (state/store.py); "
+                         "A/B and legacy-layout escape hatch")
+    ap.add_argument("--html-backend", choices=("builtin", "auto"),
+                    default=None,
+                    help="HTML parser backend for the per-document parse: "
+                         "builtin (default, byte-identity contract) or auto "
+                         "(install the fastest importable C parser, "
+                         "degrading to builtin)")
     args = ap.parse_args(argv)
     if not args.pages and not args.live:
         ap.error("--pages is required unless --live is given")
@@ -128,6 +138,10 @@ def main(argv=None):
             overrides["reuse_unchanged_pages"] = True
         if args.bloom:
             overrides["seen_bloom_enabled"] = True
+        if args.no_bucketed_seen:
+            overrides["seen_bucketed_enabled"] = False
+        if args.html_backend:
+            overrides["html_backend"] = args.html_backend
         if overrides:
             config = replace(config, **overrides)
     else:
@@ -155,6 +169,10 @@ def main(argv=None):
             kwargs["reuse_unchanged_pages"] = True
         if args.bloom:
             kwargs["seen_bloom_enabled"] = True
+        if args.no_bucketed_seen:
+            kwargs["seen_bucketed_enabled"] = False
+        if args.html_backend:
+            kwargs["html_backend"] = args.html_backend
         config = CrawlConfig(**kwargs)
 
     # output_sink: elasticsearch (offline) — resolve the export target up
