@@ -51,27 +51,33 @@ def node_descendant_text(node, ignore_tags=NON_CONTENT_TAGS) -> str:
         return ""
     stack: list = [node]
     text: list[str] = []
+    # class-dispatch (no per-node .name property call): Text/Comment names
+    # are the fixed "#text"/"#comment", never in BREAK_ELEMENTS, so only
+    # their ignore_tags membership must be preserved from the name ladder
     while stack:
         n = stack.pop()
-        if isinstance(n, str):
+        cls = n.__class__
+        if cls is str:
             if not (n == " " and text and text[-1] == " "):
                 text.append(n)
             continue
-        name = n.name
+        if cls is Text:
+            if "#text" not in ignore_tags:
+                text.append(squish(n.data))
+            continue
+        if cls is Comment:
+            # falls through the reference's type ladder to the generic
+            # element branch: contributes surrounding spaces, no children
+            if "#comment" not in ignore_tags:
+                stack.append(" ")
+                stack.append(" ")
+            continue
+        name = n._name if cls is Element else n.name
         if name in ignore_tags:
             continue
         if name in BREAK_ELEMENTS:
             if not (text and text[-1] == " "):
                 text.append(" ")
-            continue
-        if isinstance(n, Text):
-            text.append(squish(n.data))
-            continue
-        if isinstance(n, Comment):
-            # falls through the reference's type ladder to the generic
-            # element branch: contributes surrounding spaces, no children
-            stack.append(" ")
-            stack.append(" ")
             continue
         if isinstance(n, Element):
             content = n.attrs.get("content")

@@ -153,6 +153,29 @@ def test_extract_page_full():
     assert "Body text" in r["body"]
 
 
+def test_extract_page_link_set_identity():
+    """link.rb:39-53 Set semantics via the (href, rel, anchor-text) proxy:
+    exact duplicates collapse; same href with different rel OR different
+    anchor text stays distinct (exercises the lazy text-on-collision path)."""
+    html = (
+        '<body>'
+        '<a href="/x">same</a>'
+        '<a href="/x">same</a>'          # dup: collapses
+        '<a href="/x">other</a>'         # same href, new text: kept
+        '<a href="/x" rel="nofollow">same</a>'  # same href+text, new rel: kept
+        '<a href="/y">same</a>'          # different href: kept
+        '<a href="/x">other</a>'         # dup of 3rd: collapses
+        '</body>'
+    )
+    r = extract_page("http://e.com/", html)
+    assert [(lk["url"], lk["nofollow"]) for lk in r["links"]] == [
+        ("http://e.com/x", False),
+        ("http://e.com/x", False),
+        ("http://e.com/x", True),
+        ("http://e.com/y", False),
+    ]
+
+
 def test_extract_page_caps():
     links = "".join(f'<a href="/l{i}">x</a>' for i in range(40))
     heads = "".join(f"<h3>h{i}</h3>" for i in range(40))
