@@ -197,44 +197,59 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
 
         install_best_backend()
     rulesets = compile_rulesets(cfg.extraction_rules)  # once per partition
+    # per-site config lookups cost a URL split each; skip them entirely in
+    # the (common) no-exclude-tags / no-extraction-rules deployment
+    excl_map = cfg.exclude_tags or None
+    rules_map = rulesets or None
+    base_rec = {
+        "norm_url": None,
+        "url_hash": None,
+        "depth": None,
+        "seq": None,
+        "task_type": None,
+        "redirect_chain": None,
+        "host_key": None,
+        "kind": "error",
+        "status": 404,
+        "location": None,
+        "warc_ts": None,
+        "title": None,
+        "body": None,
+        "meta_keywords": None,
+        "meta_description": None,
+        "headings": None,
+        "indexed_links": None,
+        "extra_fields": None,
+        "canonical_url": None,
+        "meta_nofollow": None,
+        "meta_noindex": None,
+        "links": None,
+        "sitemap_links": None,
+        "sitemap_content_links": None,
+        "file_name": None,
+        "content_type": None,
+        "content_length": None,
+        "attachment": None,
+        "etag": None,
+        "last_modified": None,
+    }
     for pdf in batches:
         out = []
         for row in pdf.itertuples(index=False):
             norm_url = row.norm_url
-            rec = {
-                "norm_url": norm_url,
-                "url_hash": row.url_hash,
-                "depth": int(row.depth),
-                "seq": int(row.seq),
-                "task_type": row.task_type,
-                "redirect_chain": (
-                    list(row.redirect_chain) if row.redirect_chain is not None else []
-                ),
-                "host_key": U.url_host_key(norm_url),
-                "kind": "error",
-                "status": 404,
-                "location": None,
-                "warc_ts": row.warc_ts,
-                "title": None,
-                "body": None,
-                "meta_keywords": None,
-                "meta_description": None,
-                "headings": None,
-                "indexed_links": None,
-                "extra_fields": None,
-                "canonical_url": None,
-                "meta_nofollow": None,
-                "meta_noindex": None,
-                "links": None,
-                "sitemap_links": None,
-                "sitemap_content_links": None,
-                "file_name": None,
-                "content_type": None,
-                "content_length": None,
-                "attachment": None,
-                "etag": _clean_str(getattr(row, "etag", None)),
-                "last_modified": _clean_str(getattr(row, "last_modified", None)),
-            }
+            rec = base_rec.copy()
+            rec["norm_url"] = norm_url
+            rec["url_hash"] = row.url_hash
+            rec["depth"] = int(row.depth)
+            rec["seq"] = int(row.seq)
+            rec["task_type"] = row.task_type
+            rec["redirect_chain"] = (
+                list(row.redirect_chain) if row.redirect_chain is not None else []
+            )
+            rec["host_key"] = U.url_host_key(norm_url)
+            rec["warc_ts"] = row.warc_ts
+            rec["etag"] = _clean_str(getattr(row, "etag", None))
+            rec["last_modified"] = _clean_str(getattr(row, "last_modified", None))
             html = row.html
             if html is None:
                 out.append(rec)
@@ -305,6 +320,7 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 out.append(rec)
                 continue
             html_text = decode_text(body, enc)
+            site = U.url_site(norm_url) if (excl_map or rules_map) else None
             page = extract_page(
                 norm_url,
                 html_text,
@@ -317,8 +333,8 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 max_description_size=cfg.max_description_size,
                 max_elastic_tag_size=cfg.max_elastic_tag_size,
                 max_data_attribute_size=cfg.max_data_attribute_size,
-                exclude_tags=cfg.exclude_tags.get(U.url_site(norm_url)),
-                extraction_rulesets=rulesets.get(U.url_site(norm_url)),
+                exclude_tags=excl_map.get(site) if excl_map else None,
+                extraction_rulesets=rules_map.get(site) if rules_map else None,
             )
             rec.update(
                 {
