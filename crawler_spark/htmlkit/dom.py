@@ -223,9 +223,22 @@ def _fast_build(rawdata: str) -> Element:
     i = 0
     cdata_elem = None
 
+    # hot-loop object construction: bypass __init__ (and its defensive
+    # attrs copy — the tokenizer's dict is never shared) for the ~100+
+    # nodes built per page
+    _el_new = Element.__new__
+    _tx_new = Text.__new__
+
+    def _mk_text(data):
+        t = _tx_new(Text)
+        t.parent = None
+        t.data = data
+        return t
+
     def emit(node):
-        node.parent = stack[-1]
-        stack[-1].children.append(node)
+        top = stack[-1]
+        node.parent = top
+        top.children.append(node)
 
     def pop_to(tag):
         if tag in VOID_ELEMENTS:
@@ -240,17 +253,17 @@ def _fast_build(rawdata: str) -> Element:
         if cdata_elem is None:
             j = rawdata.find("<", i)
             if j < 0:
-                emit(Text(_unescape(rawdata[i:n])))
+                emit(_mk_text(_unescape(rawdata[i:n])))
                 return root
             if i < j:
-                emit(Text(_unescape(rawdata[i:j])))
+                emit(_mk_text(_unescape(rawdata[i:j])))
         else:
             m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
             if m is None:
                 return root  # stdlib drops unterminated CDATA at EOF
             j = m.start()
             if i < j:
-                emit(Text(rawdata[i:j]))
+                emit(_mk_text(rawdata[i:j]))
         i = j
 
         c = rawdata[i + 1 : i + 2]
@@ -290,11 +303,14 @@ def _fast_build(rawdata: str) -> Element:
                     kk = ma.end()
                 end = rawdata[kk:endpos].strip()
                 if end not in (">", "/>"):
-                    emit(Text(rawdata[i:endpos]))  # raw, as stdlib handle_data
+                    emit(_mk_text(rawdata[i:endpos]))  # raw, as stdlib handle_data
                     i = endpos
                     continue
-                el = Element(tag)
+                el = _el_new(Element)
+                el.parent = None
+                el._name = tag
                 el.attrs = attrs
+                el.children = []
                 emit(el)
                 if end == ">":
                     if tag not in VOID_ELEMENTS:
@@ -313,14 +329,14 @@ def _fast_build(rawdata: str) -> Element:
                 if m:
                     elem = m.group(1).lower()
                     if cdata_elem is not None and elem != cdata_elem:
-                        emit(Text(rawdata[i:gtpos]))
+                        emit(_mk_text(rawdata[i:gtpos]))
                     else:
                         pop_to(elem)
                         cdata_elem = None
                     i = m.end() if cdata_elem is None else gtpos
                     continue
                 if cdata_elem is not None:
-                    emit(Text(rawdata[i:gtpos]))
+                    emit(_mk_text(rawdata[i:gtpos]))
                     i = gtpos
                     continue
                 nm = _TAGFIND.match(rawdata, i + 2)
@@ -364,11 +380,11 @@ def _fast_build(rawdata: str) -> Element:
                     i = pos + 1
                     continue
         elif i + 1 < n:
-            emit(Text("<"))
+            emit(_mk_text("<"))
             i += 1
             continue
         else:
-            emit(Text("<"))  # goahead's trailing-data flush at EOF
+            emit(_mk_text("<"))  # goahead's trailing-data flush at EOF
             return root
 
         # --- EOF-incomplete construct recovery (goahead end=True, k<0) ----
@@ -381,7 +397,7 @@ def _fast_build(rawdata: str) -> Element:
             k += 1
         seg = rawdata[i:k]
         if seg:
-            emit(Text(seg if cdata_elem is not None else _unescape(seg)))
+            emit(_mk_text(seg if cdata_elem is not None else _unescape(seg)))
         i = k
     return root
 
