@@ -162,6 +162,14 @@ class CrawlConfig:
     seen_bloom_enabled: bool = False
     seen_bloom_buckets: int = 64
     seen_bloom_bits: int = 1 << 20
+    # JVM-side candidate pre-dedup before the Python gate UDF
+    # (operators/dedup.py prededup_discoveries): a hash aggregate with
+    # map-side partial combine collapses the exploded wave (ready x
+    # fanout rows) to one FIFO-winner row per distinct link before the
+    # Arrow round-trip, cutting the gate + anti-join input ~fanout-fold.
+    # Only active with lineage off (per-candidate deny attribution needs
+    # the uncollapsed stream); admitted set/seq provably identical.
+    discovery_prededup: bool = True
     # store the seen table bucketed by url_hash (state/store.py) — the
     # parquet stand-in for Iceberg bucket(N, url_hash). The per-wave seen
     # anti-join then plans with zero Exchange on the seen side: only the

@@ -45,6 +45,50 @@ def wave_dedup(candidates: DataFrame) -> DataFrame:
     )
 
 
+def prededup_discoveries(candidates: DataFrame, max_depth: int) -> DataFrame:
+    """Collapse duplicate discovered links JVM-side BEFORE the Python gate
+    UDF (the lineage-off perf path).
+
+    A wide wave explodes ready_pages x fanout candidate rows, but the
+    stateless gate verdict is a pure function of (link string, task_type)
+    and the admission winner per URL is the FIFO-minimum candidate — so the
+    wave can be reduced to one row per distinct (norm_url, task_type,
+    needs_norm) by a hash aggregate whose map-side partial combine crushes
+    the duplication before the exchange. The gate UDF (Arrow round-trip +
+    per-URL regex work) and the seen anti-join probe then run on the
+    distinct set, not the exploded set — at fanout 128 that is a ~100x
+    input cut for the single most expensive admission stage.
+
+    Exactness (admitted set, seq assignment, frontier attribution — pinned
+    by tests/test_crawl_e2e.py admission goldens):
+
+    * the depth gate (the only verdict input that varies WITHIN a group) is
+      applied first as the equivalent JVM filter (`depth > max` denies —
+      apply_gates coalesces link_too_deep after the UDF), so a deep
+      duplicate can never shadow a shallower admissible twin;
+    * the winner per group is min(struct(parent_seq, sub_order, ...)) — the
+      same admission order wave_dedup ranks by, with norm_url constant
+      within a group, so the per-url_hash winner after normalization is the
+      global FIFO winner, identical row for row;
+    * deny-reason attribution for the collapsed rows is not produced, which
+      is exactly why this runs only when lineage is off (denied rows are
+      unconsumed there).
+    """
+    key = ["norm_url", "task_type", "needs_norm"]
+    payload = [c for c in candidates.columns if c not in key]
+    ordered = ["parent_seq", "sub_order"] + [
+        c for c in payload if c not in ("parent_seq", "sub_order")
+    ]
+    winner = (
+        candidates.filter(F.col("depth") <= max_depth)
+        .groupBy(*key)
+        .agg(F.min(F.struct(*ordered)).alias("_w"))
+    )
+    return winner.select(
+        *key, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    ).select(*candidates.columns)
+
+
 def ordered_global_rank(
     df: DataFrame, num_buckets: int = 32, seq_span: tuple[int, int] | None = None
 ) -> tuple[DataFrame, int]:

@@ -331,6 +331,19 @@ class SparkCrawler:
                         seen_count: int, seq_base: int, wave: int):
         """Gate chain → denied lineage rows + admitted frontier rows +
         admitted count (derived, no count job)."""
+        if not self.config.lineage_enabled and self.config.discovery_prededup:
+            # perf path: collapse the exploded wave to one FIFO-winner row
+            # per distinct link BEFORE the Python gate UDF — map-side
+            # combine absorbs the fanout duplication, so the Arrow
+            # round-trip and the seen anti-join probe run on the distinct
+            # set (~fanout-fold smaller). Exactness argued and pinned at
+            # prededup_discoveries; lineage mode keeps the full stream for
+            # per-candidate deny attribution.
+            from ..operators.dedup import prededup_discoveries
+
+            candidates = prededup_discoveries(
+                candidates, self.config.max_crawl_depth
+            )
         gated = apply_gates(
             candidates, self.config, self.robots_bc, self.rules_bc,
             robots_dim=self.robots_dim,

@@ -196,6 +196,32 @@ def test_lineage_off_perf_path_identical(
     assert res.lineage is None or res.lineage.rdd.isEmpty()
 
 
+def test_prededup_discoveries_identical(
+    spark, crawl_config, pages_path, tmp_path_factory
+):
+    """The JVM-side candidate pre-dedup (prededup_discoveries) must be
+    invisible in the output: every seen/frontier row — including the FIFO
+    winner's attribution columns (source_type, source_url, parent_seq,
+    sub_order, depth) and the assigned seq — identical with the collapse
+    on and off."""
+    import dataclasses
+
+    frames = {}
+    for flag in (False, True):
+        state = tmp_path_factory.mktemp(f"state_prededup_{flag}")
+        cfg = dataclasses.replace(
+            crawl_config, lineage_enabled=False, discovery_prededup=flag
+        )
+        pages = spark.read.parquet(pages_path)
+        res = SparkCrawler(spark, cfg, pages, str(state), max_waves=40).run()
+        frames[flag] = {
+            r["norm_url"]: r.asDict() for r in res.seen.collect()
+        }
+    assert set(frames[False]) == set(frames[True])
+    for url, base in frames[False].items():
+        assert frames[True][url] == base, f"frontier row diverges for {url}"
+
+
 def test_streaming_state_reconciles_with_batch(
     spark, crawl_config, spark_result, tmp_path_factory
 ):
