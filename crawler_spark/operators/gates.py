@@ -132,13 +132,31 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
 
     def _gate_batch(pdf: pd.DataFrame, robots, engines) -> pd.DataFrame:
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         raw = pdf["norm_url"]
         needs = pdf["needs_norm"] if "needs_norm" in pdf else pd.Series(False, index=pdf.index)
         needs = needs.fillna(False)
 
         # --- normalize: vectorized identity proof, per-row residue -------
-        canonical = _canonical_mask(raw.fillna(""))
+        # Arrow compute (RE2, C++) for the whole-batch regex work: the
+        # pandas object-dtype str accessors run a Python-level re call per
+        # row and were the measured bulk of the gate (125k rows/s/core);
+        # the same masks/extraction in Arrow kernels run ~20x faster.
+        # RE2 vs `re` parity notes: both patterns are anchored, use no
+        # backreferences/lookarounds, and operate on normalized (or
+        # canonical-ASCII) text, so the dialects agree on this input class.
+        arr_raw = pa.array(raw.fillna(""), type=pa.string())
+        canonical = pd.Series(
+            pc.and_(
+                pc.match_substring_regex(arr_raw, _CANONICAL_RE.pattern),
+                pc.invert(
+                    pc.match_substring_regex(arr_raw, r"/\.\.?(?:[/?]|$)")
+                ),
+            ).to_numpy(zero_copy_only=False),
+            index=pdf.index,
+        )
         norm = raw.where(~needs | canonical)
         residue = needs & ~canonical
         if residue.any():
@@ -147,34 +165,90 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
             )
 
         # --- components (normalized rows; '@' authority → fallback) ------
-        parts = norm.str.extract(_NORM_PARTS_RE)
-        vec_ok = norm.notna() & parts["scheme"].notna()
-        path = parts["path"].fillna("/")
-        query = parts["query"]
+        # Arrow extract_regex collapses unparticipating optional groups to
+        # "" (pandas gives NaN); the distinctions the verdicts need are
+        # recovered exactly: a participating port is never empty (\d+),
+        # and the query group participates iff the URL contains '?' (path
+        # chars exclude it under the anchored full match).
+        arr_norm = pa.array(norm, type=pa.string())
+        parts = pc.extract_regex(arr_norm, _NORM_PARTS_RE.pattern)
+        scheme_a = pc.struct_field(parts, "scheme")
+        host_a = pc.struct_field(parts, "host")
+        port_a = pc.struct_field(parts, "port")
+        path_a = pc.struct_field(parts, "path")
+        query_a = pc.struct_field(parts, "query")
+        vec_ok_np = pc.is_valid(scheme_a).to_numpy(zero_copy_only=False)
+        vec_ok = pd.Series(vec_ok_np, index=pdf.index)
+        no_port = pc.equal(port_a, "")
+        # empty path group ⇒ group absent (it requires a leading '/')
+        path_a = pc.if_else(pc.equal(path_a, ""), pa.scalar("/"), path_a)
         # url_host_key: DEFAULT_PORTS.get(scheme, 0) when no explicit port
-        default_port = parts["scheme"].map({"http": "80", "https": "443"}).fillna("0")
-        port = parts["port"]
+        default_port = pc.case_when(
+            pc.make_struct(pc.equal(scheme_a, "http"), pc.equal(scheme_a, "https")),
+            pa.scalar("80"), pa.scalar("443"), pa.scalar("0"),
+        )
+        site_a = pc.binary_join_element_wise(
+            scheme_a, "://", host_a,
+            pc.if_else(no_port, pa.scalar(""),
+                       pc.binary_join_element_wise(":", port_a, "")),
+            "",
+        )
+        hk_a = pc.binary_join_element_wise(
+            scheme_a, "://", host_a, ":",
+            pc.if_else(no_port, default_port, port_a), "",
+        )
+        # site is only materialized to pandas when something per-site
+        # actually consumes it (crawl rules / the dimension columns);
+        # the allowlist check runs on the Arrow array directly
         site = (
-            parts["scheme"] + "://" + parts["host"]
-            + np.where(port.notna(), ":" + port.fillna(""), "")
+            pd.Series(site_a.to_pandas().values, index=pdf.index)
+            if (engines or emit_dim_cols)
+            else None
         )
-        host_key = (
-            parts["scheme"] + "://" + parts["host"] + ":" + port.fillna(default_port)
+        host_key = pd.Series(hk_a.to_pandas().values, index=pdf.index)
+        path = pd.Series(
+            pc.coalesce(path_a, pa.scalar("/")).to_pandas().values,
+            index=pdf.index,
         )
-        host_key = host_key.where(vec_ok)
 
-        request_uri_len = path.str.len() + np.where(query.notna(), query.str.len() + 1, 0)
-        seg_count = path.str.count("/")
-        par_count = pd.Series(0, index=pdf.index, dtype="int64")
-        hasq = query.notna()
-        if hasq.any():
-            par_count[hasq] = query[hasq].map(
-                lambda q: sum(1 for p in q.split("&") if p)
-            )
+        hasq = pc.and_kleene(
+            pc.is_valid(arr_norm),
+            pc.greater(pc.count_substring(arr_norm, "?"), 0),
+        )
+        qlen = pc.if_else(
+            hasq, pc.add(pc.utf8_length(query_a), 1), pa.scalar(0, pa.int32())
+        )
+        request_uri_len = pd.Series(
+            pc.coalesce(
+                pc.add(pc.utf8_length(path_a), qlen), pa.scalar(0, pa.int32())
+            ).to_numpy(zero_copy_only=False),
+            index=pdf.index,
+        )
+        seg_count = pd.Series(
+            pc.coalesce(
+                pc.count_substring(path_a, "/"), pa.scalar(0, pa.int32())
+            ).to_numpy(zero_copy_only=False),
+            index=pdf.index,
+        )
+        # non-empty '&'-separated query params, vectorized
+        par_count = pd.Series(
+            pc.coalesce(
+                pc.count_substring_regex(
+                    pc.if_else(hasq, query_a, pa.scalar("")), "[^&]+"
+                ),
+                pa.scalar(0, pa.int32()),
+            ).to_numpy(zero_copy_only=False),
+            index=pdf.index,
+        )
 
         # --- robots / crawl rules (only for rows that reach those gates) --
         is_sitemap = pdf["task_type"] == "sitemap"
-        site_allowed = site.isin(allowed_sites)
+        site_allowed = pd.Series(
+            pc.is_in(
+                site_a, value_set=pa.array(sorted(allowed_sites) or [""])
+            ).to_numpy(zero_copy_only=False),
+            index=pdf.index,
+        )
         robots_denied = pd.Series(False, index=pdf.index)
         delays = pd.Series(0, index=pdf.index, dtype="int64")
         for hk, idx in host_key[vec_ok].groupby(host_key[vec_ok]).groups.items():
@@ -199,7 +273,12 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
                 rules_denied[sub] = norm[sub].map(eng.outcome) == "deny"
 
         # --- verdict with reference precedence (coordinator.rb:648-699) --
-        scheme_ok = parts["scheme"].isin(U.SUPPORTED_SCHEMES)
+        scheme_ok = pd.Series(
+            pc.is_in(
+                scheme_a, value_set=pa.array(sorted(U.SUPPORTED_SCHEMES))
+            ).to_numpy(zero_copy_only=False),
+            index=pdf.index,
+        )
         reasons = np.select(
             [
                 ~scheme_ok,
