@@ -162,6 +162,11 @@ class CrawlConfig:
     seen_bloom_enabled: bool = False
     seen_bloom_buckets: int = 64
     seen_bloom_bits: int = 1 << 20
+    # fused single-pass HTML extraction (functions/fastextract.py):
+    # tokenize + collect + text-assemble in one scan, no DOM allocation;
+    # pages needing the tree (directives, restructure shapes) fall back
+    # per-document. Field-identity pinned by tests/test_fastextract.py.
+    fused_extract: bool = True
     # JVM-side candidate pre-dedup before the Python gate UDF
     # (operators/dedup.py prededup_discoveries): a hash aggregate with
     # map-side partial combine collapses the exploded wave (ready x

@@ -196,6 +196,18 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
         from ..htmlkit.backends import install_best_backend
 
         install_best_backend()
+    # fused single-pass extraction (functions/fastextract.py): tokenizer +
+    # collection + text assembly in one scan, DOM allocated only for pages
+    # that bail (restructure shapes, directives). Field-identity with
+    # extract_page is pinned by tests/test_fastextract.py. Skipped when a
+    # C tree builder is installed — the DOM path is the fast one then.
+    from ..htmlkit import dom as _dom
+
+    fused = None
+    if cfg.fused_extract and _dom._tree_builder is None:
+        from ..functions.fastextract import extract_page_fast
+
+        fused = extract_page_fast
     rulesets = compile_rulesets(cfg.extraction_rules)  # once per partition
     # per-site config lookups cost a URL split each; skip them entirely in
     # the (common) no-exclude-tags / no-extraction-rules deployment
@@ -321,21 +333,39 @@ def _parse_partition(batches: Iterator[pd.DataFrame], cfg: CrawlConfig) -> Itera
                 continue
             html_text = decode_text(body, enc)
             site = U.url_site(norm_url) if (excl_map or rules_map) else None
-            page = extract_page(
-                norm_url,
-                html_text,
-                max_extracted_links=cfg.max_extracted_links_count,
-                max_indexed_links=cfg.max_indexed_links_count,
-                max_headings=cfg.max_headings_count,
-                max_title_size=cfg.max_title_size,
-                max_body_size=cfg.max_body_size,
-                max_keywords_size=cfg.max_keywords_size,
-                max_description_size=cfg.max_description_size,
-                max_elastic_tag_size=cfg.max_elastic_tag_size,
-                max_data_attribute_size=cfg.max_data_attribute_size,
-                exclude_tags=excl_map.get(site) if excl_map else None,
-                extraction_rulesets=rules_map.get(site) if rules_map else None,
-            )
+            ex_tags = excl_map.get(site) if excl_map else None
+            rl_sets = rules_map.get(site) if rules_map else None
+            page = None
+            if fused is not None and ex_tags is None and rl_sets is None:
+                page = fused(
+                    norm_url,
+                    html_text,
+                    max_extracted_links=cfg.max_extracted_links_count,
+                    max_indexed_links=cfg.max_indexed_links_count,
+                    max_headings=cfg.max_headings_count,
+                    max_title_size=cfg.max_title_size,
+                    max_body_size=cfg.max_body_size,
+                    max_keywords_size=cfg.max_keywords_size,
+                    max_description_size=cfg.max_description_size,
+                    max_elastic_tag_size=cfg.max_elastic_tag_size,
+                    max_data_attribute_size=cfg.max_data_attribute_size,
+                )
+            if page is None:
+                page = extract_page(
+                    norm_url,
+                    html_text,
+                    max_extracted_links=cfg.max_extracted_links_count,
+                    max_indexed_links=cfg.max_indexed_links_count,
+                    max_headings=cfg.max_headings_count,
+                    max_title_size=cfg.max_title_size,
+                    max_body_size=cfg.max_body_size,
+                    max_keywords_size=cfg.max_keywords_size,
+                    max_description_size=cfg.max_description_size,
+                    max_elastic_tag_size=cfg.max_elastic_tag_size,
+                    max_data_attribute_size=cfg.max_data_attribute_size,
+                    exclude_tags=ex_tags,
+                    extraction_rulesets=rl_sets,
+                )
             rec.update(
                 {
                     "title": page["title"],
