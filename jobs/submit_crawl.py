@@ -97,6 +97,14 @@ def main(argv=None):
                          "builtin (default, byte-identity contract) or auto "
                          "(install the fastest importable C parser, "
                          "degrading to builtin)")
+    ap.add_argument("--no-fused-extract", action="store_true",
+                    help="disable the fused single-pass extractor and take "
+                         "the DOM path for every document "
+                         "(functions/fastextract.py); A/B escape hatch")
+    ap.add_argument("--no-prededup", action="store_true",
+                    help="disable the JVM-side candidate pre-dedup ahead of "
+                         "the gate UDF (operators/dedup.py "
+                         "prededup_discoveries); A/B escape hatch")
     args = ap.parse_args(argv)
     if not args.pages and not args.live:
         ap.error("--pages is required unless --live is given")
@@ -142,6 +150,10 @@ def main(argv=None):
             overrides["seen_bucketed_enabled"] = False
         if args.html_backend:
             overrides["html_backend"] = args.html_backend
+        if args.no_fused_extract:
+            overrides["fused_extract"] = False
+        if args.no_prededup:
+            overrides["discovery_prededup"] = False
         if overrides:
             config = replace(config, **overrides)
     else:
@@ -173,6 +185,10 @@ def main(argv=None):
             kwargs["seen_bucketed_enabled"] = False
         if args.html_backend:
             kwargs["html_backend"] = args.html_backend
+        if args.no_fused_extract:
+            kwargs["fused_extract"] = False
+        if args.no_prededup:
+            kwargs["discovery_prededup"] = False
         config = CrawlConfig(**kwargs)
 
     # output_sink: elasticsearch (offline) — resolve the export target up
