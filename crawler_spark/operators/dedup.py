@@ -36,13 +36,26 @@ def _admission_order():
 
 
 def wave_dedup(candidates: DataFrame) -> DataFrame:
-    """Keep first occurrence per url_hash in admission order (F1)."""
-    w = Window.partitionBy("url_hash").orderBy(*_admission_order())
-    return (
-        candidates.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Keep first occurrence per url_hash in admission order (F1).
+
+    Implemented as ``min`` over the admission-order struct — a hash
+    aggregate — rather than a ``row_number`` window: no per-partition
+    sort (the window's dominant cost and spill risk at 10^10-row waves),
+    map-side partial combine collapses duplicates before the exchange,
+    and ties beyond (parent_seq, sub_order, norm_url) break
+    DETERMINISTICALLY over the remaining columns where the window's
+    row_number left them to partition order. Winner rows are identical
+    to the window formulation wherever the order key is unique (pinned
+    by the FIFO/seq parity e2e vs the reference simulator)."""
+    payload = [c for c in candidates.columns if c != "url_hash"]
+    head = ["parent_seq", "sub_order", "norm_url"]
+    ordered = head + [c for c in payload if c not in head]
+    winner = candidates.groupBy("url_hash").agg(
+        F.min(F.struct(*ordered)).alias("_w")
     )
+    return winner.select(
+        "url_hash", *[F.col(f"_w.{c}").alias(c) for c in payload]
+    ).select(*candidates.columns)
 
 
 def prededup_discoveries(candidates: DataFrame, max_depth: int) -> DataFrame:
