@@ -867,6 +867,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe_train(_t(spark, sf, "documents"), iters=3, top_k=5)
 
     return {
+        # ORDER MATTERS for driver coverage: the CORRECTNESS
+        # snapshot checks the FIRST 50 keys, so the 27 queries
+        # without a green driver row yet (through r4) are rotated
+        # to the front this round (VERDICT r4 ask #2); the rest
+        # stay pinned by scripts/check_parity.py exact+dtype 77/77.
+        "duplicated_spans": dup_spans,
+        "lang_id_model": lang_id_model,
+        "ccnet_buckets": ccnet_b,
+        "dsir_weights": dsir_w,
+        "semantic_dedup": semdedup,
+        "c4_line_filter": c4_lines,
+        "gopher_rules": gopher_rules,
+        "url_blocklist": url_blocklist,
+        "url_word_score": url_score,
+        "line_dedup": line_dedup_q,
+        "incremental_dedup": incr_dedup,
+        "surt_index": surt_idx,
+        "kmeans_clusters": kmeans_q,
+        "unicode_clean": unicode_clean_q,
+        "crawl_diff": crawl_diff_q,
+        "host_components": host_components,
+        "chunk_dedup_clean": chunk_clean,
+        "cdc_chunks": cdc_chunks_q,
+        "postings_topk": postings_q,
+        "event_asof": event_asof_q,
+        "range_week_join": range_join_q,
+        "rollup_timegrain": rollup_q,
+        "kmv_distinct": kmv_q,
+        "host_split": host_split_q,
+        "containment_pairs": containment_q,
+        "bpe_merges": bpe_merges_q,
+        "bpe_vocab": bpe_vocab_q,
         "seen_antijoin": seen_antijoin,
         "batch_dedup": batch_dedup,
         "politeness_topk": politeness_topk,
@@ -917,33 +949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_score": model_score,
         "pagerank_hosts": pagerank_hosts,
         "host_quality_filter": host_quality,
-        "duplicated_spans": dup_spans,
-        "lang_id_model": lang_id_model,
-        "ccnet_buckets": ccnet_b,
-        "dsir_weights": dsir_w,
-        "semantic_dedup": semdedup,
-        "c4_line_filter": c4_lines,
-        "gopher_rules": gopher_rules,
-        "url_blocklist": url_blocklist,
-        "url_word_score": url_score,
-        "line_dedup": line_dedup_q,
-        "incremental_dedup": incr_dedup,
-        "surt_index": surt_idx,
-        "kmeans_clusters": kmeans_q,
-        "unicode_clean": unicode_clean_q,
-        "crawl_diff": crawl_diff_q,
-        "host_components": host_components,
-        "chunk_dedup_clean": chunk_clean,
-        "cdc_chunks": cdc_chunks_q,
-        "postings_topk": postings_q,
-        "event_asof": event_asof_q,
-        "range_week_join": range_join_q,
-        "rollup_timegrain": rollup_q,
-        "kmv_distinct": kmv_q,
-        "host_split": host_split_q,
-        "containment_pairs": containment_q,
-        "bpe_merges": bpe_merges_q,
-        "bpe_vocab": bpe_vocab_q,
     }
 
 

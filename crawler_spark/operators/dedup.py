@@ -35,23 +35,36 @@ def _admission_order():
     return [F.col("parent_seq").asc(), F.col("sub_order").asc(), F.col("norm_url").asc()]
 
 
+#: The one admission-order key both dedup stages rank by (the order a
+#: single-threaded FIFO coordinator admits candidates in). UNIQUE per
+#: candidate row by construction — _discoveries assigns sub_order
+#: disjointly within a parent (redirect/canonical: 0; organic: 1+pos;
+#: sitemap links: pos; sitemap content: 1e6+pos; a parent emits only one
+#: kind's link families) and seed rows use distinct sub_orders under
+#: parent_seq 0 — so the min_by picks below never face a tie. norm_url
+#: rides along as a defensive third component (constant within every
+#: group both stages build).
+ADMISSION_KEY = ("parent_seq", "sub_order", "norm_url")
+
+
 def wave_dedup(candidates: DataFrame) -> DataFrame:
     """Keep first occurrence per url_hash in admission order (F1).
 
-    Implemented as ``min`` over the admission-order struct — a hash
+    Implemented as ``min_by`` over the ADMISSION_KEY struct — a hash
     aggregate — rather than a ``row_number`` window: no per-partition
-    sort (the window's dominant cost and spill risk at 10^10-row waves),
-    map-side partial combine collapses duplicates before the exchange,
-    and ties beyond (parent_seq, sub_order, norm_url) break
-    DETERMINISTICALLY over the remaining columns where the window's
-    row_number left them to partition order. Winner rows are identical
-    to the window formulation wherever the order key is unique (pinned
-    by the FIFO/seq parity e2e vs the reference simulator)."""
+    sort (the window's dominant cost and spill risk at 10^10-row waves)
+    and map-side partial combine collapses duplicates before the
+    exchange. Ranking only the ADMISSION_KEY head (not the whole row)
+    keeps the winner well-defined if candidates ever grow an unorderable
+    payload type (map/binary), and both dedup stages
+    (:func:`prededup_discoveries` and this one) rank by the IDENTICAL
+    key, so they can never disagree. Winner rows are identical to the
+    window formulation because the key is unique per candidate row (see
+    ADMISSION_KEY; pinned by the FIFO/seq parity e2e vs the reference
+    simulator)."""
     payload = [c for c in candidates.columns if c != "url_hash"]
-    head = ["parent_seq", "sub_order", "norm_url"]
-    ordered = head + [c for c in payload if c not in head]
     winner = candidates.groupBy("url_hash").agg(
-        F.min(F.struct(*ordered)).alias("_w")
+        F.min_by(F.struct(*payload), F.struct(*ADMISSION_KEY)).alias("_w")
     )
     return winner.select(
         "url_hash", *[F.col(f"_w.{c}").alias(c) for c in payload]
@@ -79,23 +92,20 @@ def prededup_discoveries(candidates: DataFrame, max_depth: int) -> DataFrame:
       applied first as the equivalent JVM filter (`depth > max` denies —
       apply_gates coalesces link_too_deep after the UDF), so a deep
       duplicate can never shadow a shallower admissible twin;
-    * the winner per group is min(struct(parent_seq, sub_order, ...)) — the
-      same admission order wave_dedup ranks by, with norm_url constant
-      within a group, so the per-url_hash winner after normalization is the
-      global FIFO winner, identical row for row;
+    * the winner per group is min_by over the shared ADMISSION_KEY — the
+      same admission order wave_dedup ranks by (norm_url is constant
+      within a group), so the per-url_hash winner after normalization is
+      the global FIFO winner, identical row for row;
     * deny-reason attribution for the collapsed rows is not produced, which
       is exactly why this runs only when lineage is off (denied rows are
       unconsumed there).
     """
     key = ["norm_url", "task_type", "needs_norm"]
     payload = [c for c in candidates.columns if c not in key]
-    ordered = ["parent_seq", "sub_order"] + [
-        c for c in payload if c not in ("parent_seq", "sub_order")
-    ]
     winner = (
         candidates.filter(F.col("depth") <= max_depth)
         .groupBy(*key)
-        .agg(F.min(F.struct(*ordered)).alias("_w"))
+        .agg(F.min_by(F.struct(*payload), F.struct(*ADMISSION_KEY)).alias("_w"))
     )
     return winner.select(
         *key, *[F.col(f"_w.{c}").alias(c) for c in payload]

@@ -144,9 +144,17 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
         # pandas object-dtype str accessors run a Python-level re call per
         # row and were the measured bulk of the gate (125k rows/s/core);
         # the same masks/extraction in Arrow kernels run ~20x faster.
-        # RE2 vs `re` parity notes: both patterns are anchored, use no
-        # backreferences/lookarounds, and operate on normalized (or
-        # canonical-ASCII) text, so the dialects agree on this input class.
+        # RE2 vs `re` parity notes: both patterns are anchored and use no
+        # backreferences/lookarounds. _CANONICAL_RE runs on RAW candidate
+        # urls, where the dialects differ on exactly one input class:
+        # Python re's '$' also matches before a trailing '\n', so the old
+        # pandas path judged "https://a.test/x\n" canonical and skipped
+        # normalization (a bug — normalize strips whitespace, so the raw
+        # string was NOT identical to its normalized form); RE2's '$' is
+        # end-of-text, so such rows now correctly fall through to
+        # try_normalize (pinned by test_gates.py trailing-newline case).
+        # _NORM_PARTS_RE runs on normalized text (never a trailing
+        # newline), where the dialects agree.
         arr_raw = pa.array(raw.fillna(""), type=pa.string())
         canonical = pd.Series(
             pc.and_(
@@ -245,7 +253,9 @@ def make_gate_udf(cfg: CrawlConfig, robots_bc, rules_bc, allowed_sites: frozense
         is_sitemap = pdf["task_type"] == "sitemap"
         site_allowed = pd.Series(
             pc.is_in(
-                site_a, value_set=pa.array(sorted(allowed_sites) or [""])
+                # explicit string type: pa.array([]) would infer null type,
+                # and a sentinel value would punch a hole in the allowlist
+                site_a, value_set=pa.array(sorted(allowed_sites), type=pa.string())
             ).to_numpy(zero_copy_only=False),
             index=pdf.index,
         )

@@ -481,7 +481,8 @@ class SparkCrawler:
                 for hk in robots
             }
         robots_s = round(time.time() - t0 - prep_s, 3)
-        self._pre_wave = {"prep_s": prep_s, "robots_s": robots_s}
+        self._pre_wave = {"prep_s": prep_s, "robots_s": robots_s,
+                          "t0": round(t0, 3)}
         self.rules_bc = self.spark.sparkContext.broadcast(dict(cfg.crawl_rules))
 
         manifest = self.store.read_manifest() if (self.resume or self.recrawl) else None
@@ -738,6 +739,13 @@ class SparkCrawler:
                 extra={"ready": n_ready, "admitted": n_adm,
                        "wave_s": round(time.time() - wave_t0, 3),
                        "phases": phases,
+                       # wall-clock anchors: scripts/driver_gap.py joins
+                       # these against the Spark event log to attribute
+                       # each wave's driver-gap seconds (time with no job
+                       # running — the serial floor the scaling criterion
+                       # pays at every core count)
+                       "t0": round(wave_t0, 3),
+                       "t_end": round(time.time(), 3),
                        **({"pre_wave": self._pre_wave} if wave == 1 else {})},
             )
             m = self.store.read_manifest()

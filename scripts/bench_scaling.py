@@ -36,7 +36,13 @@ from crawler_spark.session import get_spark
 from crawler_spark.config import CrawlConfig
 from crawler_spark.plans.crawl import SparkCrawler
 cores = {cores}
-spark = get_spark("scaling-%d" % cores, cores=cores)
+# event log on: scripts/driver_gap.py attributes per-wave driver-gap
+# seconds (time with no job running — the serial floor) from it
+evdir = tempfile.mkdtemp(prefix="scaling_evlog_%d_" % cores)
+spark = get_spark("scaling-%d" % cores, cores=cores, extra={{
+    "spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir,
+    "spark.eventLog.compress": "false"}})
+app_id = spark.sparkContext.applicationId
 spark.sparkContext.setLogLevel("ERROR")
 cfg = json.load(open({corpus!r} + ".cfg"))
 config = CrawlConfig(
@@ -59,8 +65,19 @@ out = dict(
 )
 out["pages_per_sec"] = round(out["fetched_pages"] / elapsed, 1)
 out["dedup_urls_per_sec"] = round(out["admitted_urls"] / elapsed, 1)
-print("SCALING_RESULT " + json.dumps(out))
 spark.stop()
+try:
+    from scripts.driver_gap import parse_event_log, resolve_event_logs, wave_gaps
+    jobs = sorted(
+        j for log in resolve_event_logs(evdir, app_id)
+        for j in parse_event_log(log)
+    )
+    gaps = wave_gaps(jobs, m)
+    out["driver_gap"] = dict(
+        waves=gaps, total_gap_s=round(sum(g["gap_s"] for g in gaps), 3))
+except Exception as e:  # telemetry must never sink a leg
+    out["driver_gap"] = dict(error=str(e))
+print("SCALING_RESULT " + json.dumps(out))
 """
 
 

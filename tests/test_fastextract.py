@@ -119,11 +119,11 @@ BAIL_CASES = [
 
 
 def test_semantic_cases_identical():
-    compared = 0
-    for html in SEMANTIC_CASES:
-        compared += assert_same(html)
-    # these cases were built for the fast path — nearly all must take it
-    assert compared >= len(SEMANTIC_CASES) - 2, compared
+    # every semantic case was built FOR the fast path: each must actually
+    # be compared. A case that silently starts bailing after a change to
+    # the bail conditions would stop verifying anything — name it loudly.
+    bailed = [html for html in SEMANTIC_CASES if not assert_same(html)]
+    assert bailed == [], f"semantic cases no longer on the fast path: {bailed}"
 
 
 def test_bail_cases_return_none():

@@ -102,7 +102,21 @@ CASES = [
     "https://site0.test/q?",                 # empty query
     "https://site0.test/q?&&",               # empty params only
     "https://site0.test/.",                  # trailing dot segment
+    "https://site0.test/ok\n",               # trailing newline → residue
+    "https://site0.test/private/x\n",        # ditto, robots after norm
 ]
+
+
+def test_trailing_newline_raw_url_is_normalized():
+    """RE2's '$' is end-of-text while Python re's also matches before a
+    trailing '\\n': a raw URL ending in a newline must NOT be judged
+    canonical — it goes through try_normalize (which strips the
+    whitespace) and then gates on the NORMALIZED form. The old pandas
+    path skipped normalization for this input class (the bug the
+    RE2-parity comment in gates.py documents)."""
+    out = _run_gate(["https://site0.test/ok\n"])
+    assert out["norm_url"].iloc[0] == "https://site0.test/ok"
+    assert pd.isna(out["deny_reason"].iloc[0])
 
 
 def test_vectorized_gate_matches_reference_on_cases():
