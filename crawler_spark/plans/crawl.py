@@ -147,10 +147,22 @@ class SparkCrawler:
         robots_df = self.spark.createDataFrame(
             [(r, h, U.url_sha1(r)) for r, h in rows if r], "norm_url string, host_key string, url_hash string"
         )
-        fetched = robots_df.join(
-            self.pages.select("url_hash", "html"), on="url_hash", how="left"
-        ).select("host_key", "norm_url", "html").collect()
+        # inner join with the ROBOTS side broadcast: the corpus streams in
+        # place (no shuffle of the html blobs — a left join with the tiny
+        # side preserved cannot broadcast it and would shuffle the corpus),
+        # and this first full pass doubles as the corpus-cache
+        # materializer (run() skips its explicit count when this path will
+        # scan pages anyway). Hosts with no robots row in the corpus are
+        # resolved driver-side to the 404 fetch-failure rules.
+        fetched = (
+            self.pages.select("url_hash", "html")
+            .join(F.broadcast(robots_df), on="url_hash", how="inner")
+            .select("host_key", "norm_url", "html")
+            .collect()
+        )
         out = {}
+        for _r, h in rows:
+            out[h] = robots_mod.failed_fetch(404).to_tuple()
         for row in fetched:
             if row.html is None:
                 out[row.host_key] = robots_mod.failed_fetch(404).to_tuple()
@@ -265,6 +277,17 @@ class SparkCrawler:
 
     # --- helpers -------------------------------------------------------------
 
+    def _read_frontier(self, path: str) -> DataFrame:
+        """Frontier re-read with the schema pinned after the first read —
+        the per-wave re-read exists to cut lineage, not to re-infer a
+        fixed schema (footer-based inference is serial driver IO paid
+        every wave)."""
+        if getattr(self, "_frontier_schema", None) is None:
+            df = self.spark.read.parquet(path)
+            self._frontier_schema = df.schema
+            return df
+        return self.spark.read.schema(self._frontier_schema).parquet(path)
+
     def _candidates_df(self, rows):
         schema = T.StructType(
             [
@@ -360,9 +383,11 @@ class SparkCrawler:
         denied = gated.filter(F.col("deny_reason").isNotNull())
         allowed = gated.filter(F.col("deny_reason").isNull())
         # lineage off = the perf path: collect-free in-plan rank, no
-        # wave-sized cache, one job per admission; n_adm is read from the
-        # seen write's parquet footers by the caller (store.row_count)
+        # wave-sized cache, one job per admission; n_adm rides the seen
+        # write as an observe metric (store.append_counted)
         defer = not self.config.lineage_enabled
+        # (with defer on, the caller reads n_adm from the seen write's
+        # observe metric — append_counted — instead of running a count job)
         seen_bloom = (
             self.store.read("seen_bloom")
             if (self.config.seen_bloom_enabled and seen is not None)
@@ -454,10 +479,18 @@ class SparkCrawler:
         cfg = self.config
         t0 = time.time()
         self._lifecycle_rows = []
-        # materialize the corpus cache explicitly so its cost is attributed
-        # (the ingest/bucketing step of the production Iceberg table, not
-        # per-wave crawl work)
-        if not self.live:
+        # corpus-cache materialization (the ingest/bucketing step of the
+        # production Iceberg table): in offline broadcast-robots mode the
+        # robots pass below is the materializing scan — one corpus pass
+        # serves both instead of a count job followed by a robots scan.
+        # The dimension path and empty-allowlist runs still materialize
+        # explicitly so the cost stays attributed here, not to wave 1.
+        robots_materializes = (
+            not self.live
+            and bool(cfg.allowed_sites())
+            and len(cfg.allowed_sites()) < cfg.robots_dimension_threshold
+        )
+        if not self.live and not robots_materializes:
             self.pages.count()
         prep_s = round(time.time() - t0, 3)
         if len(cfg.allowed_sites()) >= cfg.robots_dimension_threshold:
@@ -499,6 +532,7 @@ class SparkCrawler:
             manifest = None
         else:
             base_wave = 0
+        initial_pending = None
         if manifest and manifest.get("frontier_pending") is not None:
             wave = manifest["wave"] + 1
             base_wave = manifest.get("run_base_wave", 0)
@@ -507,7 +541,7 @@ class SparkCrawler:
             seen = self.store.read("seen")
             if cfg.seen_bloom_enabled:
                 self._ensure_bloom_covers_seen(manifest, wave)
-            frontier = self.spark.read.parquet(manifest["frontier_pending"])
+            frontier = self._read_frontier(manifest["frontier_pending"])
             if cfg.lineage_enabled:
                 # event_generator.rb:54-69: crawl-start with resume=true
                 self._lifecycle_row(
@@ -542,12 +576,19 @@ class SparkCrawler:
                 candidates, None, 0, seq_base, wave
             )
             # the seen table rows ARE frontier rows (full columns): one
-            # write serves both the dedup anti-join and the next wave
-            pend_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
-            self._append_bloom_delta(pend_path, wave)
+            # write serves both the dedup anti-join and the next wave;
+            # with the count deferred (lineage off) it rides the write job
+            # as an observe metric (no footer reads, no extra job)
             if n_adm is None:
-                n_adm = self.store.row_count(pend_path)
-            frontier = self.spark.read.parquet(pend_path)
+                pend_path, n_adm = self.store.append_counted(
+                    "seen", admitted.select(*FRONTIER_COLS), wave
+                )
+            else:
+                pend_path = self.store.append(
+                    "seen", admitted.select(*FRONTIER_COLS), wave
+                )
+            self._append_bloom_delta(pend_path, wave)
+            frontier = self._read_frontier(pend_path)
             if cfg.lineage_enabled:
                 self.store.append("lineage", self._lineage(denied, wave, False).unionByName(
                     self._lineage(admitted, wave, True)), wave)
@@ -562,9 +603,14 @@ class SparkCrawler:
             seq_base += n_adm
             seen = self.store.read("seen")
             wave += 1
+            # politeness-off wave 1 reads the pending-frontier size from
+            # the seed admission count instead of a count job
+            initial_pending = n_adm
 
         politeness_on = cfg.politeness_window_s > 0 or cfg.default_crawl_delay_s > 0
-        pending_count = None  # known pending-frontier size when politeness off
+        # known pending-frontier size when politeness off (None = unknown,
+        # e.g. resume — one count job re-establishes it)
+        pending_count = initial_pending
         # stored priority dimension (e.g. a linkrank.pagerank output) the
         # priority expression can reference; wave-invariant, loaded once
         prio_dim = (
@@ -667,8 +713,11 @@ class SparkCrawler:
             # (the previous design cached parsed+hits deserialized, and the
             # resulting GC/eviction pressure grew with concurrency — the
             # measured anti-scaling of the admission phase at 4N cores).
+            parsed_schema = parsed.schema
             parsed_path = self.store.append("parsed", parsed, wave)
-            parsed = self.spark.read.parquet(parsed_path)
+            # schema pinned from the df just written: skips the re-read's
+            # footer-based inference (serial driver IO, every wave)
+            parsed = self.spark.read.schema(parsed_schema).parquet(parsed_path)
             if self.live:
                 # conditional-revisit validators (3-column pruned scan)
                 self.store.append(
@@ -693,11 +742,17 @@ class SparkCrawler:
             _mark("gates_admit")
             # one write serves the seen MERGE *and* (politeness off) the
             # next frontier: the seen table stores full frontier columns and
-            # the anti-join probe prunes to url_hash at the parquet scan
-            seen_path = self.store.append("seen", admitted.select(*FRONTIER_COLS), wave)
-            self._append_bloom_delta(seen_path, wave)
+            # the anti-join probe prunes to url_hash at the parquet scan;
+            # the admitted count rides the write job as an observe metric
             if n_adm is None:
-                n_adm = self.store.row_count(seen_path)
+                seen_path, n_adm = self.store.append_counted(
+                    "seen", admitted.select(*FRONTIER_COLS), wave
+                )
+            else:
+                seen_path = self.store.append(
+                    "seen", admitted.select(*FRONTIER_COLS), wave
+                )
+            self._append_bloom_delta(seen_path, wave)
             _mark("seen_merge")
             if cfg.lineage_enabled:
                 self.store.append(
@@ -724,7 +779,7 @@ class SparkCrawler:
 
             if deferred is not None:
                 next_frontier = (
-                    self.spark.read.parquet(seen_path)
+                    self._read_frontier(seen_path)
                     .unionByName(deferred.select(*FRONTIER_COLS))
                 )
                 pend_path = self.store.append("frontier_pending", next_frontier, wave)
@@ -732,7 +787,7 @@ class SparkCrawler:
             else:
                 pend_path = seen_path
                 pending_count = n_adm
-            frontier = self.spark.read.parquet(pend_path)  # cut lineage each wave
+            frontier = self._read_frontier(pend_path)  # cut lineage each wave
             _mark("frontier_merge")
             self.store.checkpoint(
                 wave, seq_base, seen_count,

@@ -39,9 +39,12 @@ cores = {cores}
 # event log on: scripts/driver_gap.py attributes per-wave driver-gap
 # seconds (time with no job running — the serial floor) from it
 evdir = tempfile.mkdtemp(prefix="scaling_evlog_%d_" % cores)
-spark = get_spark("scaling-%d" % cores, cores=cores, extra={{
+extra = {{
     "spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir,
-    "spark.eventLog.compress": "false"}})
+    "spark.eventLog.compress": "false"}}
+# A/B hook: extra session confs as a JSON env var (e.g. AQE toggles)
+extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{{}}")))
+spark = get_spark("scaling-%d" % cores, cores=cores, extra=extra)
 app_id = spark.sparkContext.applicationId
 spark.sparkContext.setLogLevel("ERROR")
 cfg = json.load(open({corpus!r} + ".cfg"))
