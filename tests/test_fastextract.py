@@ -102,12 +102,27 @@ SEMANTIC_CASES = [
     "<html><head></head><body><div a=1 / b=2>x</div><div/ >y</body></html>",
     "<html><head></head><body>unterminated <a href='/u'>anchor",
     "<html><head></head><body>cd<script>never closed",
-]
-
-BAIL_CASES = [
+    # implied head/body (dom.parse distribution, streaming-emulated r5)
     "<p>no scaffolding at all</p>",
     "<html><body>missing head</body></html>",
     "<html><head></head>no body</html>",
+    "<title>t</title><p>content</p>",
+    "<h1>head</h1><p>text <a href='/x'>lk</a></p>",
+    "<html><title>t</title><meta name='description' content='d'><div>body</div></html>",
+    "<html><head><title>a</title></head><h2>implied</h2>tail</html>",
+    "<!-- c --><p>after comment</p>",
+    "<html><!--c--><title>title-in-body</title></html>",
+    "<html><head><title>only head</title></head></html>",
+    "<html><title>only headish</title></html>",
+    "text only, nothing else",
+    "<base href='/sub/'><a href='rel'>r</a>",
+    "<noscript>ns</noscript><div data-elastic-name='dn'>v</div>",
+    "<h1>a</h1><title>late title</title><p>b</p>",
+    "<html><head></head><title>t2</title><h3>h</h3></html>",
+    "<div>a</div><head></head><body>b</body>",  # "<body" ahead: declined, both arrive
+]
+
+BAIL_CASES = [
     "<html><head></head><body><div data-elastic-exclude>x</div></body></html>",
     "<html><head></head><body><div data-elastic-include=''>x</div></body></html>",
     "<html><head></head><body><![CDATA[x]]></body></html>",
@@ -115,6 +130,12 @@ BAIL_CASES = [
     "<html><head></head><body>x</body></html><html><head></head><body>y</body></html>",
     "<html/>",
     "<div><body>nested only</body></div>",
+    # implied-scaffold shapes the streaming emulation must refuse
+    "<html><div>a</div><body>b</body></html>",  # re-homed BEFORE body's children
+    "<p>x</p><body>late</body>",                # declined flip, head missing
+    "<html><body>b</body><p>post</p></html>",   # content re-homed after </body>
+    "<html><head></head><head>h2</head><p>x</p></html>",  # dup head, no body
+    "<title>pre</title><head></head><p>x</p>",  # prefix displaced by late head
 ]
 
 
