@@ -232,13 +232,21 @@ def main():
     # two-cluster-size scaling evidence (produced by scripts/bench_scaling.py
     # on a larger corpus where parallel work dominates the per-wave floor)
     scaling = {}
+    bench_dir_ = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH", "scaling.json")) as f:
+        with open(os.path.join(bench_dir_, "scaling.json")) as f:
             s = json.load(f)
-        scaling = {k: s[k] for k in
-                   ("corpus_pages", "n_cores", "xn_cores", "pinned", "n", "xn",
-                    "scaling_efficiency", "target", "pass") if k in s}
+        keys = ("corpus_pages", "n_cores", "xn_cores", "pinned", "n", "xn",
+                "scaling_efficiency", "target", "pass", "windows")
+        scaling = {k: s[k] for k in keys if k in s}
+        # the larger-corpus run alongside (VERDICT r4 #6: the headline
+        # scaling artifact stays on the 2M corpus; 4M is quoted with it)
+        try:
+            with open(os.path.join(bench_dir_, "scaling_4m.json")) as f:
+                s4 = json.load(f)
+            scaling["alt_corpus"] = {k: s4[k] for k in keys if k in s4}
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     result = {
