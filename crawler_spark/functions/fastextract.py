@@ -101,10 +101,12 @@ class _Bail(Exception):
     pass
 
 
-# an explicit <body ...> start tag, anywhere in the raw bytes — the lazy
-# lookahead that decides whether the streaming implied-body emulation may
-# open (a match that turns out nested or commented-out only costs a bail)
+# an explicit <body ...> / <html ...> start tag, anywhere in the raw
+# bytes — the lazy lookaheads that decide whether the streaming
+# implied-body emulation may open (a match that turns out nested or
+# commented-out only costs a bail)
 _BODY_TAG_RE = re.compile(r"<body(?=[\s/>]|$)", re.IGNORECASE)
+_HTML_TAG_RE = re.compile(r"<html(?=[\s/>]|$)", re.IGNORECASE)
 
 
 def extract_page_fast(
@@ -176,6 +178,13 @@ def _run(
     declined_flip = False  # observable trigger declined ("<body" seen ahead)
     after_body_content = False  # top-level node after an explicit </body>
     body_ahead_state = None  # lazy one-shot _BODY_TAG_RE scan result
+    html_ahead_state = None  # lazy one-shot _HTML_TAG_RE scan result
+    # comment flip declines are unobservable ONLY if the anticipated
+    # scaffolding actually arrives (dom drops a pre-<html> root comment;
+    # one re-homed after an explicit body appends a squished-away space).
+    # If it never does, dom would have flipped at the comment — bail.
+    declined_comment_root = False  # root-level decline: needs html or body
+    declined_comment_inhtml = False  # under-<html> decline: needs a body
 
     # --- body text accumulator (node_descendant_text rules) ---------------
     body_parts = None
@@ -268,14 +277,30 @@ def _run(
                 if e[2] < 0:
                     e[1].append(data)
 
+    def _html_ahead():
+        nonlocal html_ahead_state
+        if html_ahead_state is None:
+            html_ahead_state = _HTML_TAG_RE.search(rawdata, i) is not None
+        return html_ahead_state
+
     def emit_comment():
         # node_descendant_text: a comment contributes its surrounding
         # spaces (one suffices under the final squish); element_text: none.
         # A top-level comment is a non-head-ish node in dom's distribution
-        # — it opens the implied body (a declined one is unobservable: the
-        # re-homed comment appends a squished-away trailing space)
+        # — it opens the implied body, UNLESS explicit scaffolding lies
+        # ahead: a root comment before <html> is dropped by dom outright,
+        # and one re-homed after an explicit body appends only a
+        # squished-away space. Either decline is re-validated at EOF (the
+        # flags above) in case the lookahead match was a red herring.
+        nonlocal declined_comment_root, declined_comment_inhtml
         if not suppress and not body_claimed and _top_parent():
-            if not _body_ahead():
+            at_root = not html_seen
+            if _body_ahead() or (at_root and _html_ahead()):
+                if at_root:
+                    declined_comment_root = True
+                else:
+                    declined_comment_inhtml = True
+            else:
                 _start_implied_body()
         if body_parts is not None and not body_done and body_ign < 0:
             body_parts.append(" ")
@@ -414,6 +439,11 @@ def _run(
                         raise _Bail
                     html_seen = True
                     html_pos = 0
+                    # any root comment the lookahead declined is now
+                    # DEFINITIVELY dropped by dom (stray root sibling of
+                    # an explicit <html>): attribution inside the html
+                    # element starts fresh
+                    declined_comment_root = False
                 else:
                     if depth == 0 and not suppress and not html_seen:
                         toplevel_content = True
@@ -432,12 +462,25 @@ def _run(
                         elif tag == "body":
                             if implied_body:
                                 raise _Bail  # explicit body after the flip
+                            if body_top:
+                                # duplicate top-level body: with the head
+                                # missing, dom re-homes it INTO the first
+                                # body — same EOF soundness gate as any
+                                # other post-body content
+                                after_body_content = True
                             body_top = True
                         elif not body_claimed:
                             # dom distribution: head-ish prefix → implied
-                            # head (only while no explicit head closed);
-                            # any other element opens the implied body
-                            if tag in _HEAD_ELEMENTS and not head_top:
+                            # head — but only while no explicit head closed
+                            # AND no comment flip was declined (a declined
+                            # comment already flipped dom's in_head, so a
+                            # later head-ish element belongs to the body)
+                            if (
+                                tag in _HEAD_ELEMENTS
+                                and not head_top
+                                and not declined_comment_root
+                                and not declined_comment_inhtml
+                            ):
                                 implied_prefix += 1
                             elif _body_ahead():
                                 declined_flip = True
@@ -637,6 +680,13 @@ def _run(
         i = k
 
     trunc(0, n)
+
+    # declined comment flips: sound only if the scaffolding the lookahead
+    # anticipated actually arrived (see the flag comments above)
+    if declined_comment_inhtml and not body_top:
+        raise _Bail
+    if declined_comment_root and not (html_seen or body_top):
+        raise _Bail
 
     # dom.parse's head/body distribution ran iff either is missing: the
     # streaming emulation must have been sound, else the DOM path decides

@@ -120,6 +120,13 @@ SEMANTIC_CASES = [
     "<h1>a</h1><title>late title</title><p>b</p>",
     "<html><head></head><title>t2</title><h3>h</h3></html>",
     "<div>a</div><head></head><body>b</body>",  # "<body" ahead: declined, both arrive
+    # declined-comment soundness (root comment dropped when <html> arrives;
+    # attribution inside the html element starts fresh)
+    "<!-- generator --><html><head><title>t</title></head><body>b</body></html>",
+    "<!--c--><html><meta name='description' content='d'><p>x</p></html>",
+    "<!--c--><html><noscript>ns</noscript><p>x</p></html>",
+    "<!--c--><body>b</body>",  # re-homed comment appends only a space
+    "<html><!--c--><head></head><body>b</body></html>",  # under-html decline, body arrives
 ]
 
 BAIL_CASES = [
