@@ -236,9 +236,10 @@ def admit(
 
     ``defer_count=True`` (the lineage-off perf path): rank via
     :func:`inplan_global_rank` — no driver collect, no wave-sized cache,
-    the whole chain is one job — and return ``n = None``; the caller reads
-    the admitted count from the seen write's parquet footers (the local
-    stand-in for an Iceberg snapshot's ``total-records``).
+    the whole chain is one job — and return ``n = None``; the caller
+    carries the admitted count out of the seen write itself via an
+    ``observe`` metric (store.append_counted — the local stand-in for an
+    Iceberg snapshot's ``total-records``).
     """
     deduped = wave_dedup(allowed)
     if seen is not None:
