@@ -106,3 +106,33 @@ def test_legacy_plain_state_dir_stays_plain(spark, tmp_path):
     assert st.read("seen").count() == 40
     assert not os.path.exists(st._spec_path("seen"))
     assert os.path.isdir(p)
+
+
+def test_append_counted_carries_write_counts(spark, tmp_path):
+    """append_counted: the row count rides the write job as an observe
+    metric (no footer read) for bucketed and plain tables alike; the
+    AQE-elided empty write falls back to the (trivial) footer read."""
+    st = _mk(spark, tmp_path, n_buckets=4)
+    p, n = st.append_counted("seen", _rows(spark, 0, 123), 0)
+    assert n == 123 and os.path.isdir(p)
+    p, n = st.append_counted("seen", _rows(spark, 0, 50).filter(F.lit(False)), 1)
+    assert n == 0 and os.path.isdir(p)
+    plain = StateStore(spark, str(tmp_path / "plain"))
+    p, n = plain.append_counted("metrics", _rows(spark, 0, 7), 0)
+    assert n == 7
+    p, n = plain.append_counted("metrics", _rows(spark, 0, 7).filter(F.lit(False)), 1)
+    assert n == 0
+
+
+def test_second_store_instance_same_session_reappends_safely(spark, tmp_path):
+    """The session-scoped partition cache must stay conservative when a
+    SECOND StateStore over the same root (same session, table already in
+    the catalog) re-appends an existing wave: the drop still happens and
+    the slot is replaced, not duplicated."""
+    st = _mk(spark, tmp_path, n_buckets=4)
+    st.append("seen", _rows(spark, 0, 100), 0)
+    st.append("seen", _rows(spark, 100, 150), 1)
+    st2 = _mk(spark, tmp_path, n_buckets=4)  # catalog entry already exists
+    st2.append("seen", _rows(spark, 100, 170), 1)
+    assert st2.read("seen").count() == 170
+    assert st.read("seen").count() == 170
